@@ -1,0 +1,190 @@
+"""AACTokenizer parity tests (reference behavior: aac_tokenizer.py)."""
+
+import numpy as np
+import pytest
+
+from conette_tpu.tokenization import AACTokenizer
+from conette_tpu.tokenization.normalizers import (
+    CleanHyphenSpaces,
+    CleanPunctuation,
+    ReplaceRarePuncChars,
+)
+from conette_tpu.tokenization.word_tokenizers import RegexWordTokenizer
+
+
+def make_fit_tokenizer() -> AACTokenizer:
+    tok = AACTokenizer()
+    tok.fit(
+        [
+            "A bird is singing.",
+            "a bird sings",
+            "A man's voice is heard over water",
+        ]
+    )
+    return tok
+
+
+def test_special_token_ids_order():
+    tok = make_fit_tokenizer()
+    # (<pad>, <bos>, <eos>, <unk>) = (0, 1, 2, 3) by fit order
+    assert tok.pad_token_id == 0
+    assert tok.bos_token_id == 1
+    assert tok.eos_token_id == 2
+    assert tok.unk_token_id == 3
+
+
+def test_fit_vocab_first_appearance_order():
+    tok = AACTokenizer()
+    tok.fit(["a bird is singing", "a bird sings"])
+    # ids: specials 0-3, then a=4, bird=5, is=6, singing=7, sings=8
+    assert tok.token_to_id("a") == 4
+    assert tok.token_to_id("bird") == 5
+    assert tok.token_to_id("is") == 6
+    assert tok.token_to_id("singing") == 7
+    assert tok.token_to_id("sings") == 8
+
+
+def test_normalization_removes_punctuation_and_lowercases():
+    tok = AACTokenizer()
+    out = tok.tokenize_batch(["A Bird, is singing!"])
+    assert out == [["a", "bird", "is", "singing"]]
+
+
+def test_contraction_split_matches_spacy_convention():
+    tok = AACTokenizer()
+    out = tok.tokenize_batch(["the man's car isn't here"])
+    assert out == [["the", "man", "'s", "car", "is", "n't", "here"]]
+
+
+def test_encode_batch_padding_modes():
+    tok = make_fit_tokenizer()
+    enc = tok.encode_batch(
+        ["a bird is singing", "a bird sings"], add_bos_eos=True, padding="batch"
+    )
+    assert isinstance(enc, np.ndarray)
+    assert enc.shape[0] == 2
+    assert enc[0, 0] == tok.bos_token_id
+    assert tok.eos_token_id in enc[1]
+    # Shorter sentence right-padded with pad id
+    assert enc[1, -1] == tok.pad_token_id
+
+
+def test_encode_decode_roundtrip():
+    tok = make_fit_tokenizer()
+    sent = "a bird is singing"
+    enc = tok.encode_single(sent, add_bos_eos=True)
+    dec = tok.decode_single(enc)
+    assert dec == sent
+
+
+def test_decode_strips_special_tokens():
+    tok = make_fit_tokenizer()
+    ids = [tok.bos_token_id, tok.token_to_id("bird"), tok.eos_token_id,
+           tok.pad_token_id]
+    assert tok.decode_single(ids) == "bird"
+
+
+def test_add_special_token_task_embedding():
+    tok = make_fit_tokenizer()
+    n = tok.get_vocab_size()
+    new_id = tok.add_special_token("<bos_clotho>")
+    assert new_id == n
+    assert tok.token_to_id("<bos_clotho>") == n
+    assert tok.get_vocab_size() == n + 1
+    with pytest.raises(ValueError):
+        tok.add_special_token("<bos_clotho>")
+
+
+def test_fit_twice_raises():
+    tok = make_fit_tokenizer()
+    with pytest.raises(RuntimeError):
+        tok.fit(["again"])
+
+
+def test_txt_state_roundtrip_with_json(tmp_path):
+    tok = make_fit_tokenizer()
+    tok.add_special_token("<bos_clotho>")
+    fpath = str(tmp_path / "tok.json")
+    tok.save_file(fpath)
+    tok2 = AACTokenizer.from_file(fpath)
+    assert tok2.get_vocab_size() == tok.get_vocab_size()
+    assert tok2.token_to_id("<bos_clotho>") == tok.token_to_id("<bos_clotho>")
+    sent = "a bird is singing"
+    assert np.array_equal(tok2.encode_single(sent), tok.encode_single(sent))
+
+
+def test_bin_state_migration_sos_to_bos():
+    """Reference v1.0.0 states used <sos>; migration renames it (aac_tokenizer.py:802-808)."""
+    old_state = {
+        "_version_": "1.0.0",
+        "tokenizer": {
+            "_AACTokenizer_hparams": {
+                "level": "word",
+                "lowercase": True,
+                "clean_punctuation": True,
+                "normalize": True,
+            },
+            "_AACTokenizer_max_sentence_size": 5,
+            "_AACTokenizer_min_sentence_size": 2,
+            "_AACTokenizer_n_sentences_fit": 10,
+            "_AACTokenizer_itos": {0: "<pad>", 1: "<sos>", 2: "<eos>", 3: "<unk>", 4: "dog"},
+            "_AACTokenizer_stoi": {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3, "dog": 4},
+            "_AACTokenizer_vocab": {"<pad>": 0, "<sos>": 0, "<eos>": 0, "<unk>": 0, "dog": 7},
+        },
+    }
+    tok = AACTokenizer()
+    tok.set_bin_state(old_state)
+    assert tok.bos_token_id == 1
+    assert tok.has("<bos>")
+    assert not tok.has("<sos>")
+    assert tok.token_to_id("dog") == 4
+    assert tok.is_fit()
+
+
+def test_token_to_id_default_modes():
+    tok = make_fit_tokenizer()
+    assert tok.token_to_id("zzz", default=...) == tok.unk_token_id
+    assert tok.token_to_id("zzz", default=-1) == -1
+    with pytest.raises(KeyError):
+        tok.token_to_id("zzz")
+
+
+def test_unk_default_in_encode():
+    tok = make_fit_tokenizer()
+    enc = tok.encode_single("a zebra sings", default=...)
+    assert tok.unk_token_id in enc.tolist()
+
+
+def test_rare_punct_chars_replaced():
+    norm = ReplaceRarePuncChars()
+    assert norm.normalize_single("it’s “loud” & `hot`; …") == "it's \"loud\"  &  'hot', ..."
+
+
+def test_clean_hyphen_spaces():
+    norm = CleanHyphenSpaces()
+    assert norm.normalize_single("a bird - like call") == "a bird-like call"
+
+
+def test_punctuation_pattern_keeps_apostrophe():
+    norm = CleanPunctuation()
+    assert norm.normalize_single("man's") == "man's"
+
+
+def test_encode_rec_nested():
+    tok = make_fit_tokenizer()
+    nested = [["a bird sings", "a bird is singing"], ["a bird sings"]]
+    out = tok.encode_rec(nested, padding=8)
+    assert isinstance(out, list)
+    assert out[0].shape == (2, 8)
+
+
+def test_decode_rec_nested():
+    tok = make_fit_tokenizer()
+    enc = tok.encode_batch(["a bird sings", "a bird is singing"], padding="batch")
+    decoded = tok.decode_rec(enc)
+    assert decoded == ["a bird sings", "a bird is singing"]
+
+
+def test_regex_tokenizer_special_token_passthrough():
+    wt = RegexWordTokenizer()
+    assert wt.tokenize_single("<bos_clotho> rain falls") == ["<bos_clotho>", "rain", "falls"]
