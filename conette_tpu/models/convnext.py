@@ -1,0 +1,248 @@
+"""ConvNeXt-Tiny audio tagger in functional JAX (NHWC, TPU layout).
+
+Capability twin of the reference production encoder
+(``src/conette/nn/encoders/convnext.py:105-426``): log-mel frontend →
+per-mel-bin BatchNorm → audio stem Conv(4,4)/s(4,4)/pad(time=4) →
+4 stages of depths [3,3,9,3], dims [96,192,384,768] with 3 downsampling
+convs → frequency-mean frame embeddings (B, T', 768) + AudioSet clip head
+(max+mean time pool → LN → Linear(768,527) → sigmoid).
+
+TPU-first differences from the reference implementation:
+- NHWC activations (XLA TPU native) instead of NCHW; the reference's
+  channels-first LayerNorm becomes a plain last-axis LayerNorm;
+- the whole encoder is a pure function of a parameter pytree, jit/pjit
+  friendly, with optional bfloat16 compute and f32 accumulation;
+- frame-embedding lengths are computed from static shapes
+  (``frame_embs_lens = round(input_len / reduction)``, parity with
+  ``convnext.py:309-315``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from conette_tpu.models.layers import (
+    Params,
+    batch_norm_inference,
+    batch_norm_init,
+    batch_norm_train,
+    conv2d,
+    conv2d_init,
+    drop_path,
+    gelu,
+    layer_norm,
+    layer_norm_init,
+    linear,
+    linear_init,
+)
+from conette_tpu.ops.frontend import DEFAULT_LOGMEL, LogMelConfig, logmel_spectrogram
+
+DEPTHS = (3, 3, 9, 3)
+DIMS = (96, 192, 384, 768)
+NUM_AUDIOSET_CLASSES = 527
+LN_EPS = 1e-6
+
+
+def convnext_init(
+    key: jax.Array,
+    in_chans: int = 1,
+    num_classes: int = NUM_AUDIOSET_CLASSES,
+    depths: tuple[int, ...] = DEPTHS,
+    dims: tuple[int, ...] = DIMS,
+    layer_scale_init_value: float = 1e-6,
+    n_mels: int = 224,
+    stem_kernel: tuple[int, int] = (4, 4),
+    stem_stride: tuple[int, int] = (4, 4),
+) -> Params:
+    """Initialize the ConvNeXt parameter pytree (trunc_normal(0.02) weights,
+    zero biases; parity with ``convnext.py:241-249,422-423``)."""
+    keys = iter(jax.random.split(key, 64))
+    params: Params = {
+        "bn0": batch_norm_init(n_mels),
+        "stem": {
+            "conv": conv2d_init(next(keys), in_chans, dims[0], stem_kernel),
+            "norm": layer_norm_init(dims[0]),
+        },
+        "downsample": [],
+        "stages": [],
+        "norm": layer_norm_init(dims[-1]),
+        "head_audioset": linear_init(
+            next(keys), dims[-1], num_classes, init="trunc_normal"
+        ),
+    }
+    for i in range(3):
+        params["downsample"].append(
+            {
+                "norm": layer_norm_init(dims[i]),
+                "conv": conv2d_init(next(keys), dims[i], dims[i + 1], (2, 2)),
+            }
+        )
+    for i, depth in enumerate(depths):
+        stage = []
+        for _ in range(depth):
+            dim = dims[i]
+            stage.append(
+                {
+                    "dwconv": conv2d_init(next(keys), dim, dim, (7, 7), groups=dim),
+                    "norm": layer_norm_init(dim),
+                    "pwconv1": linear_init(next(keys), dim, 4 * dim, init="trunc_normal"),
+                    "pwconv2": linear_init(next(keys), 4 * dim, dim, init="trunc_normal"),
+                    "scale": jnp.full((dim,), layer_scale_init_value, jnp.float32),
+                }
+            )
+        params["stages"].append(stage)
+    return params
+
+
+def convnext_block(
+    params: Params,
+    x: jax.Array,
+    *,
+    drop_path_rate: float = 0.0,
+    deterministic: bool = True,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """dwconv7x7 → LN → pwconv(4x) → GELU → pwconv → layer-scale → residual
+    (parity: ``convnext.py:61-74``). Runs in NHWC; the pointwise convs are
+    MXU matmuls over the channel axis."""
+    shortcut = x
+    dim = x.shape[-1]
+    y = conv2d(params["dwconv"], x, padding=((3, 3), (3, 3)), groups=dim)
+    y = layer_norm(params["norm"], y, eps=LN_EPS)
+    y = linear(params["pwconv1"], y)
+    y = gelu(y)
+    y = linear(params["pwconv2"], y)
+    y = y * params["scale"].astype(y.dtype)
+    y = drop_path(rng, y, drop_path_rate, deterministic)
+    return shortcut + y
+
+
+def convnext_features(
+    params: Params,
+    x: jax.Array,
+    *,
+    stem_stride: tuple[int, int] = (4, 4),
+    stem_padding: tuple[tuple[int, int], tuple[int, int]] = ((4, 4), (0, 0)),
+    deterministic: bool = True,
+    drop_path_rate: float = 0.0,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """(B, T, F, 1) NHWC log-mel → (B, T', F', 768) feature map."""
+    y = conv2d(params["stem"]["conv"], x, stride=stem_stride, padding=stem_padding)
+    y = layer_norm(params["stem"]["norm"], y, eps=LN_EPS)
+
+    depths = [len(s) for s in params["stages"]]
+    total = sum(depths)
+    block_idx = 0
+    for i, stage in enumerate(params["stages"]):
+        if i > 0:
+            ds = params["downsample"][i - 1]
+            y = layer_norm(ds["norm"], y, eps=LN_EPS)
+            y = conv2d(ds["conv"], y, stride=(2, 2))
+        for block in stage:
+            dp = drop_path_rate * block_idx / max(total - 1, 1)
+            brng = (
+                jax.random.fold_in(rng, block_idx) if rng is not None else None
+            )
+            y = convnext_block(
+                block,
+                y,
+                drop_path_rate=dp,
+                deterministic=deterministic,
+                rng=brng,
+            )
+            block_idx += 1
+    return y
+
+
+def convnext_apply(
+    params: Params,
+    waveform: jax.Array,
+    waveform_lens: jax.Array | None = None,
+    *,
+    logmel_cfg: LogMelConfig = DEFAULT_LOGMEL,
+    waveform_input: bool = True,
+    return_frame_outputs: bool = True,
+    return_clip_outputs: bool = True,
+    deterministic: bool = True,
+    drop_path_rate: float = 0.0,
+    rng: jax.Array | None = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+    spec_augment_fn: Any = None,
+) -> dict[str, jax.Array]:
+    """Full encoder forward.
+
+    :param waveform: (B, T_samples) if ``waveform_input`` else a
+        (B, T_frames, n_mels) precomputed log-mel spectrogram.
+    :param waveform_lens: (B,) true (unpadded) lengths along the time axis
+        of ``waveform`` (samples or frames); defaults to full length.
+    :returns: dict with ``frame_embs`` (B, T', 768), ``frame_embs_lens``
+        (B,), and ``clipwise_output`` (B, 527).
+    Output contract parity: ``convnext.py:264-336``.
+    """
+    if waveform_input:
+        mel = logmel_spectrogram(waveform, logmel_cfg, compute_dtype=compute_dtype)
+        input_time_len = waveform.shape[-1]
+    else:
+        mel = waveform
+        input_time_len = waveform.shape[1]
+    # (B, T, F) → BN over mel bins (reference bn0 transpose trick,
+    # convnext.py:290-292) → NHWC (B, T, F, 1)
+    if deterministic:
+        mel = batch_norm_inference(params["bn0"], mel, axis=-1)
+        bn_stats = None
+    else:
+        mel, bn_stats = batch_norm_train(params["bn0"], mel, axis=-1)
+
+    if spec_augment_fn is not None and not deterministic:
+        mel = spec_augment_fn(mel)
+
+    x = mel[..., None].astype(compute_dtype)
+
+    feats = convnext_features(
+        params,
+        x,
+        deterministic=deterministic,
+        drop_path_rate=drop_path_rate,
+        rng=rng,
+    )
+    # (B, T', F', C) → mean over frequency → (B, T', C)
+    frames = jnp.mean(feats.astype(jnp.float32), axis=2)
+
+    out: dict[str, Any] = {}
+    if return_frame_outputs:
+        n_out = frames.shape[1]
+        reduction = input_time_len // n_out
+        if waveform_lens is None:
+            lens = jnp.full((waveform.shape[0],), n_out, jnp.int32)
+        else:
+            lens = jnp.round(waveform_lens.astype(jnp.float32) / reduction).astype(
+                jnp.int32
+            )
+        # frame_embs returned time-major-last (B, C, T') as the reference
+        # does (consumers transpose as needed).
+        out["frame_embs"] = jnp.swapaxes(frames, 1, 2)
+        out["frame_embs_lens"] = lens
+
+    if return_clip_outputs:
+        pooled = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+        pooled = layer_norm(params["norm"], pooled, eps=LN_EPS)
+        logits = linear(params["head_audioset"], pooled)
+        out["clipwise_output"] = jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    if bn_stats is not None:
+        out["bn0_stats"] = bn_stats
+    return out
+
+
+def frame_reduction_factor(n_samples: int, logmel_cfg: LogMelConfig = DEFAULT_LOGMEL) -> int:
+    """Waveform-samples → output-frames reduction factor for a given clip
+    length (stem /4 then 3 × /2 on the spectrogram time axis)."""
+    n_frames = 1 + n_samples // logmel_cfg.hop_length
+    t = (n_frames + 8) // 4  # stem pad 4+4, stride 4
+    for _ in range(3):
+        t = t // 2
+    return n_samples // t

@@ -1,0 +1,338 @@
+"""Task-conditioned transformer caption decoder with a static KV cache.
+
+Capability twin of the reference ``AACTransformerDecoder``
+(``src/conette/nn/decoders/aac_tfmer.py:18-118``): Embedding(vocab, 256,
+padding_idx=pad) scaled by sqrt(d_model) + sinusoidal positional encoding
+(``nn/modules/positional_encoding.py:13-36``) → 6 post-norm decoder layers
+(d=256, 8 heads, FF 2048, GELU, eps 1e-5 — torch
+``TransformerDecoderLayer(norm_first=False)`` semantics) → Linear(256, vocab).
+
+TPU-first redesign:
+- batch-first (B, L, D) activations;
+- a **static-shape KV cache**: self-attention K/V live in (B, H, L_max, dh)
+  buffers written with ``dynamic_update_slice``; cross-attention K/V are
+  precomputed once per audio clip. One decode step is a handful of
+  (B·H, 1, dh) matmuls — the reference re-runs the full decoder on the
+  growing prefix each step with no cache (``nn/decoding/beam.py:113-127``);
+- everything is a pure function usable under ``lax.scan``/``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conette_tpu.models.layers import (
+    Params,
+    dropout,
+    embedding,
+    gelu,
+    layer_norm,
+    linear,
+    linear_init,
+    xavier_uniform,
+)
+
+LN_EPS = 1e-5
+NEG_INF = -1e30
+
+
+class DecoderConfig(NamedTuple):
+    vocab_size: int
+    d_model: int = 256
+    nhead: int = 8
+    num_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout_p: float = 0.2
+    bos_id: int = 1
+    eos_id: int = 2
+    pad_id: int = 0
+    max_len: int = 5000  # positional table size (reference maxlen=5000)
+
+
+# ------------------------------------------------------------------ pos enc
+def sinusoidal_positions(max_len: int, d_model: int) -> np.ndarray:
+    """Sin/cos positional table, parity with the reference
+    ``PositionalEncoding`` (sin on even dims, cos on odd dims)."""
+    den = np.exp(-np.arange(0, d_model, 2, dtype=np.float64) * math.log(10000.0) / d_model)
+    pos = np.arange(max_len, dtype=np.float64)[:, None]
+    table = np.zeros((max_len, d_model), dtype=np.float64)
+    table[:, 0::2] = np.sin(pos * den)
+    table[:, 1::2] = np.cos(pos * den)
+    return table.astype(np.float32)
+
+
+# --------------------------------------------------------------------- init
+def attention_init(key: jax.Array, d_model: int) -> Params:
+    """torch MultiheadAttention init: xavier-uniform packed in-proj, zero
+    in-proj bias, out-proj default linear init with zero bias."""
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    # xavier over the packed (3d, d) matrix == per-block xavier with the
+    # packed fan; replicate by drawing the packed matrix then splitting.
+    packed = xavier_uniform(jax.random.fold_in(kq, 0), (d_model, 3 * d_model))
+    wq, wk, wv = jnp.split(packed, 3, axis=1)
+    out = linear_init(ko, d_model, d_model, init="torch")
+    out["bias"] = jnp.zeros_like(out["bias"])
+    return {
+        "q": {"weight": wq, "bias": jnp.zeros((d_model,), jnp.float32)},
+        "k": {"weight": wk, "bias": jnp.zeros((d_model,), jnp.float32)},
+        "v": {"weight": wv, "bias": jnp.zeros((d_model,), jnp.float32)},
+        "out": out,
+    }
+
+
+def decoder_init(key: jax.Array, cfg: DecoderConfig) -> Params:
+    keys = iter(jax.random.split(key, 8 + 8 * cfg.num_layers))
+    emb = jax.random.normal(next(keys), (cfg.vocab_size, cfg.d_model), jnp.float32)
+    emb = emb.at[cfg.pad_id].set(0.0)
+    params: Params = {
+        "emb": {"weight": emb},
+        "layers": [],
+        "classifier": linear_init(next(keys), cfg.d_model, cfg.vocab_size, init="torch"),
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "self_attn": attention_init(next(keys), cfg.d_model),
+                "cross_attn": attention_init(next(keys), cfg.d_model),
+                "linear1": linear_init(next(keys), cfg.d_model, cfg.dim_feedforward, init="torch"),
+                "linear2": linear_init(next(keys), cfg.dim_feedforward, cfg.d_model, init="torch"),
+                "norm1": {"weight": jnp.ones((cfg.d_model,)), "bias": jnp.zeros((cfg.d_model,))},
+                "norm2": {"weight": jnp.ones((cfg.d_model,)), "bias": jnp.zeros((cfg.d_model,))},
+                "norm3": {"weight": jnp.ones((cfg.d_model,)), "bias": jnp.zeros((cfg.d_model,))},
+            }
+        )
+    return params
+
+
+# ---------------------------------------------------------------- attention
+def _split_heads(x: jax.Array, nhead: int) -> jax.Array:
+    b, l, d = x.shape
+    return x.reshape(b, l, nhead, d // nhead).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+
+def attention(
+    params: Params,
+    q_in: jax.Array,
+    kv_in: jax.Array,
+    nhead: int,
+    *,
+    mask: jax.Array | None = None,
+    key_padding_mask: jax.Array | None = None,
+    dropout_p: float = 0.0,
+    deterministic: bool = True,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-head attention. ``mask`` (Lq, Lk) additive-style bool (True =
+    blocked); ``key_padding_mask`` (B, Lk) True = PAD."""
+    d_model = q_in.shape[-1]
+    dh = d_model // nhead
+    q = _split_heads(linear(params["q"], q_in), nhead)
+    k = _split_heads(linear(params["k"], kv_in), nhead)
+    v = _split_heads(linear(params["v"], kv_in), nhead)
+
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(dh)
+    if mask is not None:
+        scores = jnp.where(mask[None, None, :, :], NEG_INF, scores)
+    if key_padding_mask is not None:
+        scores = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, scores)
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if not deterministic and dropout_p > 0.0:
+        weights = dropout(rng, weights, dropout_p, deterministic)
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32)
+    return linear(params["out"], _merge_heads(out.astype(q_in.dtype)))
+
+
+# ------------------------------------------------------------- full forward
+def decoder_forward(
+    params: Params,
+    cfg: DecoderConfig,
+    memory: jax.Array,
+    caps_in: jax.Array,
+    *,
+    memory_key_padding_mask: jax.Array | None = None,
+    caps_in_pad_mask: jax.Array | None = None,
+    causal: bool = True,
+    deterministic: bool = True,
+    rng: jax.Array | None = None,
+    caps_in_embedded: bool = False,
+) -> jax.Array:
+    """Teacher-forcing forward.
+
+    :param memory: (B, T_mem, D) projected frame embeddings.
+    :param caps_in: (B, L) token ids, or (B, L, D) pre-mixed embeddings when
+        ``caps_in_embedded`` (mixup path, ``pl_modules/conette.py:207-210``).
+    :returns: (B, L, vocab) logits.
+    """
+    if caps_in_embedded:
+        x = caps_in
+    else:
+        x = embedding(params["emb"], caps_in, dtype=memory.dtype)
+    L = x.shape[1]
+    x = x * math.sqrt(cfg.d_model)
+    pos = jnp.asarray(sinusoidal_positions(L, cfg.d_model), dtype=x.dtype)
+    x = x + pos[None, :, :]
+    rngs = jax.random.split(rng, 1 + 6 * cfg.num_layers) if rng is not None else None
+    x = dropout(rngs[0] if rngs is not None else None, x, cfg.dropout_p, deterministic)
+
+    sq_mask = None
+    if causal:
+        sq_mask = jnp.triu(jnp.ones((L, L), bool), k=1)
+
+    for i, layer in enumerate(params["layers"]):
+        r = rngs[1 + 6 * i : 1 + 6 * (i + 1)] if rngs is not None else [None] * 6
+        sa = attention(
+            layer["self_attn"], x, x, cfg.nhead,
+            mask=sq_mask, key_padding_mask=caps_in_pad_mask,
+            dropout_p=cfg.dropout_p, deterministic=deterministic, rng=r[0],
+        )
+        x = layer_norm(layer["norm1"], x + dropout(r[1], sa, cfg.dropout_p, deterministic), LN_EPS)
+        ca = attention(
+            layer["cross_attn"], x, memory, cfg.nhead,
+            key_padding_mask=memory_key_padding_mask,
+            dropout_p=cfg.dropout_p, deterministic=deterministic, rng=r[2],
+        )
+        x = layer_norm(layer["norm2"], x + dropout(r[3], ca, cfg.dropout_p, deterministic), LN_EPS)
+        ff = linear(layer["linear2"], dropout(r[4], gelu(linear(layer["linear1"], x)), cfg.dropout_p, deterministic))
+        x = layer_norm(layer["norm3"], x + dropout(r[5], ff, cfg.dropout_p, deterministic), LN_EPS)
+
+    return linear(params["classifier"], x).astype(jnp.float32)
+
+
+# ------------------------------------------------------------- cached decode
+class DecodeCache(NamedTuple):
+    """Static-shape incremental state for one decode stream batch."""
+
+    self_k: jax.Array  # (num_layers, B, H, L_max, dh)
+    self_v: jax.Array  # (num_layers, B, H, L_max, dh)
+    cross_k: jax.Array  # (num_layers, B, H, T_mem, dh)
+    cross_v: jax.Array  # (num_layers, B, H, T_mem, dh)
+    memory_pad: jax.Array  # (B, T_mem) True = PAD
+
+
+def init_cache(
+    params: Params,
+    cfg: DecoderConfig,
+    memory: jax.Array,
+    memory_key_padding_mask: jax.Array,
+    max_steps: int,
+) -> DecodeCache:
+    """Precompute cross-attention K/V and allocate self-attention buffers."""
+    b, t_mem, _ = memory.shape
+    dh = cfg.d_model // cfg.nhead
+    cross_k, cross_v = [], []
+    for layer in params["layers"]:
+        ca = layer["cross_attn"]
+        cross_k.append(_split_heads(linear(ca["k"], memory), cfg.nhead))
+        cross_v.append(_split_heads(linear(ca["v"], memory), cfg.nhead))
+    zeros = jnp.zeros((cfg.num_layers, b, cfg.nhead, max_steps, dh), memory.dtype)
+    return DecodeCache(
+        self_k=zeros,
+        self_v=zeros,
+        cross_k=jnp.stack(cross_k),
+        cross_v=jnp.stack(cross_v),
+        memory_pad=memory_key_padding_mask,
+    )
+
+
+def decode_step(
+    params: Params,
+    cfg: DecoderConfig,
+    cache: DecodeCache,
+    token_ids: jax.Array,
+    step: jax.Array,
+) -> tuple[jax.Array, DecodeCache]:
+    """One incremental decode step.
+
+    :param token_ids: (B,) current input tokens.
+    :param step: scalar int32 position of ``token_ids`` in the sequence.
+    :returns: ((B, vocab) logits for the next token, updated cache).
+    """
+    b = token_ids.shape[0]
+    dh = cfg.d_model // cfg.nhead
+    max_steps = cache.self_k.shape[3]
+
+    x = embedding(params["emb"], token_ids, dtype=cache.cross_k.dtype)
+    x = x * math.sqrt(cfg.d_model)
+    pos = jnp.asarray(sinusoidal_positions(cfg.max_len, cfg.d_model), dtype=x.dtype)
+    x = x + jax.lax.dynamic_slice_in_dim(pos, step, 1, axis=0)[0]
+    x = x[:, None, :]  # (B, 1, D)
+
+    # positions > step are masked out of self-attention
+    valid = (jnp.arange(max_steps) <= step)[None, :]  # (1, L_max)
+
+    new_self_k = cache.self_k
+    new_self_v = cache.self_v
+    for i, layer in enumerate(params["layers"]):
+        sa = layer["self_attn"]
+        q = _split_heads(linear(sa["q"], x), cfg.nhead)  # (B, H, 1, dh)
+        k_new = _split_heads(linear(sa["k"], x), cfg.nhead)  # (B, H, 1, dh)
+        v_new = _split_heads(linear(sa["v"], x), cfg.nhead)
+        k_buf = jax.lax.dynamic_update_slice(
+            new_self_k[i], k_new, (0, 0, step, 0)
+        )
+        v_buf = jax.lax.dynamic_update_slice(
+            new_self_v[i], v_new, (0, 0, step, 0)
+        )
+        new_self_k = new_self_k.at[i].set(k_buf)
+        new_self_v = new_self_v.at[i].set(v_buf)
+
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k_buf, preferred_element_type=jnp.float32
+        ) / math.sqrt(dh)
+        scores = jnp.where(valid[None, None, :, :], scores, NEG_INF)
+        w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        sa_out = jnp.einsum("bhqk,bhkd->bhqd", w, v_buf, preferred_element_type=jnp.float32)
+        sa_out = linear(sa["out"], _merge_heads(sa_out.astype(x.dtype)))
+        x = layer_norm(layer["norm1"], x + sa_out, LN_EPS)
+
+        ca = layer["cross_attn"]
+        q = _split_heads(linear(ca["q"], x), cfg.nhead)
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, cache.cross_k[i], preferred_element_type=jnp.float32
+        ) / math.sqrt(dh)
+        scores = jnp.where(cache.memory_pad[:, None, None, :], NEG_INF, scores)
+        w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        ca_out = jnp.einsum(
+            "bhqk,bhkd->bhqd", w, cache.cross_v[i], preferred_element_type=jnp.float32
+        )
+        ca_out = linear(ca["out"], _merge_heads(ca_out.astype(x.dtype)))
+        x = layer_norm(layer["norm2"], x + ca_out, LN_EPS)
+
+        ff = linear(layer["linear2"], gelu(linear(layer["linear1"], x)))
+        x = layer_norm(layer["norm3"], x + ff, LN_EPS)
+
+    logits = linear(params["classifier"], x[:, 0, :]).astype(jnp.float32)
+    return logits, DecodeCache(
+        self_k=new_self_k,
+        self_v=new_self_v,
+        cross_k=cache.cross_k,
+        cross_v=cache.cross_v,
+        memory_pad=cache.memory_pad,
+    )
+
+
+def reorder_cache(cache: DecodeCache, indices: jax.Array) -> DecodeCache:
+    """Gather the batch axis by ``indices`` (beam-search parent reorder)."""
+    return DecodeCache(
+        self_k=cache.self_k[:, indices],
+        self_v=cache.self_v[:, indices],
+        cross_k=cache.cross_k,  # invariant across beam reorders within a clip
+        cross_v=cache.cross_v,
+        memory_pad=cache.memory_pad,
+    )
+
+
+def count_params(params: Any) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
