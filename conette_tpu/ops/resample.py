@@ -62,6 +62,31 @@ def resampled_length(n_samples: int, orig_freq: int, new_freq: int) -> int:
     return int(math.ceil((new_freq // gcd) * n_samples / (orig_freq // gcd)))
 
 
+def resample_numpy(
+    waveform: np.ndarray, orig_freq: int, new_freq: int
+) -> np.ndarray:
+    """Host-side twin of :func:`resample` (identical filter bank, BLAS
+    matmul). Used on the data-loading path where per-clip lengths vary and
+    device compilation churn would dominate."""
+    if orig_freq == new_freq:
+        return waveform
+    gcd = math.gcd(orig_freq, new_freq)
+    orig = orig_freq // gcd
+    kernels, width = resample_kernel(orig_freq, new_freq)
+    shape = waveform.shape
+    length = shape[-1]
+    x = waveform.reshape(-1, length).astype(np.float32)
+    x = np.pad(x, ((0, 0), (width, width + orig)))
+    k_len = kernels.shape[1]
+    windows = np.lib.stride_tricks.sliding_window_view(x, k_len, axis=-1)[
+        :, ::orig, :
+    ]  # (B, frames, K)
+    y = windows @ kernels.T  # (B, frames, new)
+    y = y.reshape(x.shape[0], -1)
+    target = resampled_length(length, orig_freq, new_freq)
+    return y[:, :target].reshape(*shape[:-1], target)
+
+
 def resample(
     waveform: jnp.ndarray,
     orig_freq: int,
