@@ -1,0 +1,239 @@
+"""Benchmark: end-to-end captioning throughput (clips/sec) at beam=3.
+
+Measures the flagship inference path on the available accelerator —
+waveform → log-mel → ConvNeXt-Tiny → projection → beam-3 decode (20 steps,
+static KV cache), batch of 10 s clips — and compares against a
+PyTorch-CPU reference-style pipeline (torch ConvNeXt twin + torch
+TransformerDecoder + Python beam loop re-running the full prefix each step
+without a KV cache, as the reference does — nn/decoding/beam.py:113-127).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N}
+
+The CPU baseline is cached in .bench_cpu_baseline.json (it is a property of
+the host, not of our code under test).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 32
+CLIP_SECONDS = 10
+SR = 32_000
+VOCAB = 4000
+BEAM = 3
+MAX_PRED = 20
+MIN_PRED = 3
+CACHE_FILE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from conette_tpu.models.conette import (
+        ConetteConfig,
+        conette_init,
+        encode_audio,
+        forward_generate,
+    )
+    from conette_tpu.models.convnext import convnext_apply, convnext_init
+
+    cfg = ConetteConfig(vocab_size=VOCAB, beam_size=BEAM, min_pred_size=MIN_PRED,
+                        max_pred_size=MAX_PRED)
+    key = jax.random.PRNGKey(0)
+    ke, km = jax.random.split(key)
+    enc_params = convnext_init(ke)
+    model_params = conette_init(km, cfg)
+    forbid = jnp.zeros((VOCAB,), bool).at[100:].set(True)
+
+    @jax.jit
+    def pipeline(enc_params, model_params, waveform, lens, bos_ids):
+        outs = convnext_apply(enc_params, waveform, lens, compute_dtype=jnp.bfloat16)
+        audio = jnp.swapaxes(outs["frame_embs"], 1, 2)
+        memory, pad_mask = encode_audio(model_params, cfg, audio, outs["frame_embs_lens"])
+        res = forward_generate(
+            model_params, cfg, memory, pad_mask, bos_ids, forbid_rep_mask=forbid
+        )
+        return res.best_preds, res.best_avg_lprobs
+
+    rng = np.random.default_rng(0)
+    waveform = jnp.asarray(rng.standard_normal((BATCH, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
+    lens = jnp.full((BATCH,), CLIP_SECONDS * SR, jnp.int32)
+    bos_ids = jnp.full((BATCH,), 4, jnp.int32)
+
+    # warmup/compile
+    out = pipeline(enc_params, model_params, waveform, lens, bos_ids)
+    jax.block_until_ready(out)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(enc_params, model_params, waveform, lens, bos_ids)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return BATCH * iters / dt
+
+
+def bench_cpu_torch() -> float:
+    """Reference-style PyTorch-CPU pipeline (no KV cache, Python beam loop)."""
+    import torch
+    import torch.nn as tnn
+
+    from conette_tpu.ops.mel import mel_filterbank
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class Block(tnn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.dw = tnn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+            self.norm = tnn.LayerNorm(dim, eps=1e-6)
+            self.pw1 = tnn.Linear(dim, 4 * dim)
+            self.pw2 = tnn.Linear(4 * dim, dim)
+            self.scale = tnn.Parameter(torch.full((dim,), 1e-6))
+
+        def forward(self, x):
+            y = self.dw(x).permute(0, 2, 3, 1)
+            y = self.pw2(torch.nn.functional.gelu(self.pw1(self.norm(y))))
+            y = (self.scale * y).permute(0, 3, 1, 2)
+            return x + y
+
+    class Encoder(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            dims = (96, 192, 384, 768)
+            depths = (3, 3, 9, 3)
+            self.bn0 = tnn.BatchNorm2d(224)
+            self.stem = tnn.Conv2d(1, 96, (4, 4), (4, 4), padding=(4, 0))
+            self.stem_norm = tnn.LayerNorm(96, eps=1e-6)
+            self.downs = tnn.ModuleList(
+                tnn.Conv2d(dims[i], dims[i + 1], 2, 2) for i in range(3)
+            )
+            self.down_norms = tnn.ModuleList(tnn.LayerNorm(dims[i], eps=1e-6) for i in range(3))
+            self.stages = tnn.ModuleList(
+                tnn.Sequential(*[Block(dims[i]) for _ in range(depths[i])])
+                for i in range(4)
+            )
+            fb = mel_filterbank(SR, 1024, 224, 50.0, 14000.0)
+            self.register_buffer("melW", torch.from_numpy(fb))
+            self.register_buffer("window", torch.hann_window(1024, periodic=True))
+
+        def forward(self, wav):  # (B, T)
+            spec = torch.stft(
+                wav, 1024, 320, window=self.window, center=True,
+                pad_mode="reflect", return_complex=True,
+            )
+            power = (spec.abs() ** 2).transpose(1, 2)  # (B, T, F)
+            mel = torch.clamp(power @ self.melW, min=1e-10)
+            x = (10.0 * torch.log10(mel))[:, None]  # (B,1,T,224)
+            x = self.bn0(x.transpose(1, 3)).transpose(1, 3)
+            x = self.stem(x)
+            x = self.stem_norm(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            for i in range(4):
+                if i > 0:
+                    x = self.down_norms[i - 1](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                    x = self.downs[i - 1](x)
+                x = self.stages[i](x)
+            return x.mean(dim=3)  # (B, 768, T')
+
+    layer = tnn.TransformerDecoderLayer(
+        256, 8, 2048, dropout=0.0, activation=torch.nn.functional.gelu,
+        batch_first=False, norm_first=False,
+    )
+    decoder = tnn.TransformerDecoder(layer, 6)
+    emb = tnn.Embedding(VOCAB, 256, padding_idx=0)
+    classifier = tnn.Linear(256, VOCAB)
+    proj = tnn.Linear(768, 256)
+    encoder = Encoder()
+    for m in (encoder, decoder, emb, classifier, proj):
+        m.eval()
+
+    @torch.no_grad()
+    def caption(wav: torch.Tensor) -> list[int]:
+        frames = encoder(wav)  # (1, 768, T')
+        memory = proj(frames.transpose(1, 2)).transpose(0, 1)  # (T', 1, 256)
+        memory = memory.repeat(1, BEAM, 1)
+        beams = [([4], 0.0)] * BEAM
+        finished = []
+        for i in range(MAX_PRED):
+            ids = torch.as_tensor([p for p, _ in beams]).T  # (i+1, beam)
+            x = emb(ids) * math.sqrt(256)
+            pos = torch.arange(ids.shape[0])[:, None]
+            den = torch.exp(-torch.arange(0, 256, 2) * math.log(10000) / 256)
+            pe = torch.zeros(ids.shape[0], 256)
+            pe[:, 0::2] = torch.sin(pos * den)
+            pe[:, 1::2] = torch.cos(pos * den)
+            x = x + pe[:, None, :]
+            sq = torch.triu(torch.full((ids.shape[0],) * 2, float("-inf")), 1)
+            out = decoder(tgt=x, memory=memory[:, : x.shape[1]], tgt_mask=sq)
+            logits = classifier(out[-1])  # (beam, vocab)
+            if i < MIN_PRED:
+                logits[:, 2] = -math.inf
+            lp = torch.log_softmax(logits, dim=-1)
+            if i == 0:
+                cand = lp[0:1]
+                sums = torch.zeros(1)
+            else:
+                cand = lp
+                sums = torch.as_tensor([s for _, s in beams])
+            total = (sums[:, None] + cand).reshape(-1)
+            k = len(beams)
+            top = torch.topk(total, k)
+            new_beams = []
+            for score, idx in zip(top.values.tolist(), top.indices.tolist()):
+                parent, tok = divmod(idx, VOCAB)
+                seq = beams[parent][0] + [tok]
+                if tok == 2 or i == MAX_PRED - 1:
+                    finished.append((seq, score / (i + 1)))
+                else:
+                    new_beams.append((seq, score))
+            beams = new_beams
+            if not beams:
+                break
+        return max(finished, key=lambda x: x[1])[0]
+
+    rng = np.random.default_rng(0)
+    wav = torch.from_numpy(rng.standard_normal((1, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
+    caption(wav)  # warmup
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        caption(wav)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main() -> int:
+    if os.path.isfile(CACHE_FILE):
+        with open(CACHE_FILE) as f:
+            cpu_cps = json.load(f)["clips_per_sec"]
+    else:
+        cpu_cps = bench_cpu_torch()
+        with open(CACHE_FILE, "w") as f:
+            json.dump({"clips_per_sec": cpu_cps}, f)
+
+    tpu_cps = bench_tpu()
+    print(
+        json.dumps(
+            {
+                "metric": "captioning_throughput_beam3_10s_clips",
+                "value": round(tpu_cps, 3),
+                "unit": "clips/s",
+                "vs_baseline": round(tpu_cps / cpu_cps, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

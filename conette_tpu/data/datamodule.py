@@ -1,0 +1,281 @@
+"""HDFDataModule — the training input pipeline.
+
+Capability twin of the reference ``HDFDataModule``
+(``src/conette/datamodules/hdf.py:43-457``):
+
+- loads lists of packed HDF files per split and concatenates them;
+- dataset-balancing modes ``main_hdf_duplicate`` / ``main_hdf_min`` /
+  ``main_hdf_balanced`` with ``n_added_data`` (``hdf.py:234-319``), the
+  added data re-subsampled per epoch (``WrapperSampler`` reshuffled in
+  ``train_dataloader``, ``hdf.py:180-187``);
+- fits the train tokenizer on all train captions when not already fit
+  (``hdf.py:328-330``);
+- train items pick one random reference (unpadded), val/test items carry
+  all references padded per batch + raw ``mult_references``
+  (``OnlineEncodeCaptionsTransform``, ``datamodules/common.py:76-156``);
+- the first caption token is rewritten to the ``<bos_task>`` id by the
+  batch post-processor (parity with ``on_after_batch_transfer``,
+  ``pl_modules/conette.py:527-550``).
+
+TPU-first: batches are host-prefetched numpy with bucketed static shapes.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Any, Callable, Iterator, Sequence
+
+import numpy as np
+
+from conette_tpu.data.collate import CollateDict
+from conette_tpu.data.datasets import (
+    AACConcat,
+    AACDatasetLike,
+    AACDuplicate,
+    AACSubset,
+    WrapperSampler,
+)
+from conette_tpu.data.hdf import HDFDataset
+from conette_tpu.tokenization import AACTokenizer
+
+pylog = logging.getLogger(__name__)
+
+BALANCE_MODES = ("none", "main_hdf_duplicate", "main_hdf_min", "main_hdf_balanced")
+
+
+class HDFDataModule:
+    def __init__(
+        self,
+        tokenizer: AACTokenizer,
+        train_fpaths: Sequence[str] = (),
+        val_fpaths: Sequence[str] = (),
+        test_fpaths: Sequence[str] = (),
+        *,
+        bsize: int = 512,
+        main_hdf_pattern: str | None = None,
+        balance_mode: str = "none",
+        n_added_data: int | None = None,
+        caption_quantum: int = 4,
+        caption_max_len: int = 64,
+        seed: int = 1234,
+        task_token_fn: Callable[[dict], int] | None = None,
+        audio_transform: Callable[[np.ndarray], np.ndarray] | None = None,
+    ) -> None:
+        if balance_mode not in BALANCE_MODES:
+            raise ValueError(f"Invalid {balance_mode=}. (expected {BALANCE_MODES})")
+        self.tokenizer = tokenizer
+        self.train_fpaths = list(train_fpaths)
+        self.val_fpaths = list(val_fpaths)
+        self.test_fpaths = list(test_fpaths)
+        self.bsize = bsize
+        self.main_hdf_pattern = main_hdf_pattern
+        self.balance_mode = balance_mode
+        self.n_added_data = n_added_data
+        self.caption_quantum = caption_quantum
+        self.caption_max_len = caption_max_len
+        self.seed = seed
+        self.task_token_fn = task_token_fn
+        self.audio_transform = audio_transform
+
+        self._rng = np.random.default_rng(seed)
+        self._train: AACDatasetLike | None = None
+        self._val: list[HDFDataset] = []
+        self._test: list[HDFDataset] = []
+        self._samplers: list[WrapperSampler] = []
+
+    # ------------------------------------------------------------- setup
+    def setup_fit(self) -> None:
+        datasets = [HDFDataset(p) for p in self.train_fpaths]
+        if not datasets:
+            raise ValueError("No train HDF files provided")
+
+        is_main = [
+            self.main_hdf_pattern is not None and self.main_hdf_pattern in ds.fpath
+            for ds in datasets
+        ]
+        if self.balance_mode == "none" or not any(is_main):
+            train: AACDatasetLike = (
+                datasets[0] if len(datasets) == 1 else AACConcat(*datasets)
+            )
+        else:
+            mains = [d for d, m in zip(datasets, is_main) if m]
+            added = [d for d, m in zip(datasets, is_main) if not m]
+            main = mains[0] if len(mains) == 1 else AACConcat(*mains)
+            parts: list[AACDatasetLike] = []
+            if self.balance_mode == "main_hdf_duplicate":
+                total_added = sum(len(d) for d in added)
+                parts = [AACDuplicate(main, max(total_added, len(main))), *added]
+            elif self.balance_mode == "main_hdf_min":
+                n = len(main)
+                parts = [main]
+                for d in added:
+                    sampler = WrapperSampler(d, min(n, len(d)), self.seed)
+                    self._samplers.append(sampler)
+                    parts.append(sampler)
+            elif self.balance_mode == "main_hdf_balanced":
+                n = self.n_added_data or len(main)
+                parts = [main]
+                for d in added:
+                    sampler = WrapperSampler(d, min(n, len(d)), self.seed)
+                    self._samplers.append(sampler)
+                    parts.append(sampler)
+            train = AACConcat(*parts) if len(parts) > 1 else parts[0]
+        self._train = train
+
+        if not self.tokenizer.is_fit():
+            captions = []
+            for i in range(len(train)):
+                refs = train.at(i, "captions")
+                captions.extend(refs if isinstance(refs, list) else [refs])
+            self.tokenizer.fit(captions)
+            pylog.info(
+                f"Fit tokenizer on {len(captions)} captions "
+                f"(vocab={self.tokenizer.get_vocab_size()})"
+            )
+
+        self._val = [HDFDataset(p) for p in self.val_fpaths]
+
+    def setup_test(self) -> None:
+        self._test = [HDFDataset(p) for p in self.test_fpaths]
+
+    @property
+    def train_dataset(self) -> AACDatasetLike:
+        assert self._train is not None, "call setup_fit() first"
+        return self._train
+
+    # --------------------------------------------------------------- items
+    def _train_item(self, ds: AACDatasetLike, idx: int) -> dict[str, Any]:
+        item = ds[idx]
+        refs = item["captions"]
+        ref = refs[int(self._rng.integers(len(refs)))] if isinstance(refs, list) else refs
+        caps = self.tokenizer.encode_single(ref, add_bos_eos=True)
+        caps = caps[: self.caption_max_len]
+        audio = np.asarray(item["audio"], np.float32)
+        if self.audio_transform is not None:
+            audio = self.audio_transform(audio)
+        return {
+            "audio": audio,
+            "audio_lens": int(item.get("audio_lens", audio.shape[0])),
+            "captions": caps.astype(np.int32),
+            "dataset": item.get("dataset", "unknown"),
+            "source": item.get("source"),
+        }
+
+    def _eval_item(self, ds: AACDatasetLike, idx: int, subset: str) -> dict[str, Any]:
+        item = ds[idx]
+        refs = item["captions"] if isinstance(item["captions"], list) else [item["captions"]]
+        encoded = self.tokenizer.encode_batch(refs, add_bos_eos=True, padding="batch")
+        if isinstance(encoded, list):
+            encoded, _ = _stack_ragged(encoded)
+        audio = np.asarray(item["audio"], np.float32)
+        return {
+            "audio": audio,
+            "audio_lens": int(item.get("audio_lens", audio.shape[0])),
+            "mult_captions": encoded.astype(np.int32),
+            "mult_references": refs,
+            "dataset": item.get("dataset", "unknown"),
+            "subset": subset,
+            "source": item.get("source"),
+            "fname": item.get("fname", str(idx)),
+        }
+
+    # ------------------------------------------------------------ batching
+    def _collate(self) -> CollateDict:
+        pad = self.tokenizer.pad_token_id if self.tokenizer.is_fit() else 0
+        return CollateDict(
+            pad_values={"captions": pad, "mult_captions": pad, "audio": 0.0},
+            length_quantums={"captions": self.caption_quantum,
+                             "mult_captions": self.caption_quantum},
+        )
+
+    def _postprocess(self, batch: dict[str, Any]) -> dict[str, Any]:
+        """Rewrite first caption ids to task tokens + pack lens."""
+        if batch.get("audio_lens") is None and "audio_shape" in batch:
+            batch["audio_lens"] = batch["audio_shape"][:, 0]
+        batch["audio_lens"] = np.asarray(batch["audio_lens"], np.int32)
+        if self.task_token_fn is not None:
+            ids = np.asarray(
+                [self.task_token_fn(
+                    {"dataset": d, "source": s}
+                ) for d, s in zip(batch["dataset"], batch["source"])],
+                np.int32,
+            )
+            if "captions" in batch:
+                batch["captions"][:, 0] = ids
+            if "mult_captions" in batch:
+                batch["mult_captions"][:, :, 0] = ids[:, None]
+        return batch
+
+    def train_batches(self, epoch: int = 0) -> Iterator[dict[str, Any]]:
+        assert self._train is not None, "call setup_fit() first"
+        for sampler in self._samplers:
+            sampler.resample()
+        collate = self._collate()
+        order = np.random.default_rng(self.seed + epoch).permutation(len(self._train))
+        n_full = len(order) // self.bsize
+        for b in range(n_full):
+            idxs = order[b * self.bsize : (b + 1) * self.bsize]
+            items = [self._train_item(self._train, int(i)) for i in idxs]
+            batch = collate(items)
+            lens = np.asarray([it["audio_lens"] for it in items], np.int32)
+            batch["audio_lens"] = lens
+            yield self._postprocess(batch)
+
+    def eval_batches(
+        self, split: str = "val", dl_idx: int = 0
+    ) -> Iterator[dict[str, Any]]:
+        ds_list = self._val if split == "val" else self._test
+        ds = ds_list[dl_idx]
+        collate = self._collate()
+        for start in range(0, len(ds), self.bsize):
+            idxs = range(start, min(start + self.bsize, len(ds)))
+            items = [self._eval_item(ds, i, split) for i in idxs]
+            batch = collate(items)
+            batch["audio_lens"] = np.asarray(
+                [it["audio_lens"] for it in items], np.int32
+            )
+            yield self._postprocess(batch)
+
+    def num_eval_loaders(self, split: str = "val") -> int:
+        return len(self._val if split == "val" else self._test)
+
+
+def _stack_ragged(arrays: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    max_len = max(a.shape[-1] for a in arrays)
+    out = np.zeros((len(arrays), max_len), arrays[0].dtype)
+    lens = np.zeros((len(arrays),), np.int64)
+    for i, a in enumerate(arrays):
+        out[i, : a.shape[-1]] = a
+        lens[i] = a.shape[-1]
+    return out, lens
+
+
+class Prefetcher:
+    """Background-thread batch prefetcher (the host-side analogue of the
+    reference's DataLoader workers, ``datamodules/aac_dm.py:129-142``)."""
+
+    def __init__(self, iterator: Iterator, depth: int = 4) -> None:
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._thread = threading.Thread(
+            target=self._fill, args=(iterator,), daemon=True
+        )
+        self._thread.start()
+
+    def _fill(self, iterator: Iterator) -> None:
+        try:
+            for item in iterator:
+                self._q.put(item)
+        finally:
+            self._q.put(self._sentinel)
+
+    def __iter__(self) -> "Prefetcher":
+        return self
+
+    def __next__(self) -> Any:
+        item = self._q.get()
+        if item is self._sentinel:
+            raise StopIteration
+        return item
