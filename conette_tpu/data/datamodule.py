@@ -176,7 +176,7 @@ class HDFDataModule:
             "mult_captions": encoded.astype(np.int32),
             "mult_references": refs,
             "dataset": item.get("dataset", "unknown"),
-            "subset": subset,
+            "subset": item.get("subset") or subset,
             "source": item.get("source"),
             "fname": item.get("fname", str(idx)),
         }

@@ -251,6 +251,7 @@ class DummyAACDataset(DictDataset):
         feat: int = 768,
         seed: int = 0,
         dataset_name: str = "dummy",
+        subset: str = "train",
     ) -> None:
         rng = np.random.default_rng(seed)
         words = ["a", "dog", "barks", "rain", "falls", "wind", "blows", "man",
@@ -273,7 +274,7 @@ class DummyAACDataset(DictDataset):
                 "audio_lens": [int(l) for l in lens],
                 "captions": captions,
                 "dataset": [dataset_name] * size,
-                "subset": ["train"] * size,
+                "subset": [subset] * size,
                 "source": [None] * size,
                 "fname": [f"clip_{i}.wav" for i in range(size)],
             }

@@ -312,6 +312,44 @@ class CoNeTTEModel:
                 "checkpoints from local directories (egress-less TPU hosts); "
                 "download the HF snapshot first."
             )
+
+        # Train-run directory (reference predict.py:124-178 twin): a run dir
+        # with checkpoints/best from conette-train instead of an HF export.
+        best_dir = os.path.join(path, "checkpoints", "best")
+        if not os.path.isfile(os.path.join(path, "config.json")) and os.path.isdir(
+            best_dir
+        ):
+            from conette_tpu.train.checkpoint import load_checkpoint
+
+            loaded = load_checkpoint(best_dir)
+            tokenizer = loaded.get("tokenizer")
+            mc = loaded["meta"].get("model_cfg", {})
+            config = CoNeTTEConfig(
+                tokenizer_state=tokenizer.get_txt_state() if tokenizer else None,
+                **{
+                    k: mc[k]
+                    for k in (
+                        "task_mode", "task_names", "label_smoothing",
+                        "mixup_alpha", "min_pred_size", "max_pred_size",
+                        "beam_size", "nhead", "d_model", "num_decoder_layers",
+                        "decoder_dropout_p", "dim_feedforward",
+                    )
+                    if k in mc
+                },
+            )
+            pylog.warning(
+                "Loading a train-run checkpoint: decoder weights are trained, "
+                "the ConvNeXt encoder is randomly initialized unless converted "
+                "separately (the reference fetches it from its Zenodo registry)."
+            )
+            return cls(
+                config,
+                model_params=loaded["params"],
+                tokenizer=tokenizer,
+                verbose=verbose,
+                **kwargs,
+            )
+
         config = CoNeTTEConfig.from_pretrained(path)
 
         audioset_names = None

@@ -1,0 +1,400 @@
+"""conette-train — the full training pipeline.
+
+Orchestration twin of the reference ``main_train``
+(``src/conette/train.py:359-527``), reorganized for JAX/TPU:
+
+1/6 setup: seed, run dir, RunLogger, optional ``jax_debug_nans``
+    (the reference's ``detect_anomaly`` + NaN early-stop twin);
+2/6 tokenizers + train-time transforms (SpecAugmentRatio on embeddings);
+3/6 datamodule (HDF) + model params + optimizer;
+4/6 fit: jitted train step (pjit-DP over the local mesh when >1 device),
+    per-epoch validation (multi-ref forced loss + generated candidates →
+    CIDEr-D/FENSE monitors), monitored checkpointing with ``best`` link;
+5/6 test with the best checkpoint: beam-3 generation + AllMetrics corpus
+    scoring + CSV/DCASE export (single-host scoring — the TPU analogue of
+    the reference's rank-0 eval handoff, ``train.py:419-433``);
+6/6 artifact dump: resolved config, tokenizer, metrics, durations, csums.
+"""
+
+from __future__ import annotations
+
+import datetime
+import functools
+import logging
+import os
+import sys
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+pylog = logging.getLogger(__name__)
+
+
+def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    from conette_tpu.config import load_config
+
+    cfg = load_config("train", argv)
+
+    # ------------------------------------------------------------ 1/6 setup
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s | %(message)s")
+    import jax
+    import jax.numpy as jnp
+
+    if cfg.get("debug"):
+        jax.config.update("jax_debug_nans", True)
+
+    seed = int(cfg.get("seed", 1234))
+    run_name = cfg.get("run_name") or (
+        f"{cfg.get('job', 'train')}-"
+        + datetime.datetime.now().strftime("%Y.%m.%d-%H.%M.%S")
+    )
+    run_dir = os.path.join(cfg.get("log_root", "logs"), run_name)
+    os.makedirs(run_dir, exist_ok=True)
+
+    from conette_tpu.utils.run_logger import RunLogger
+
+    logger = RunLogger(run_dir)
+    logger.log_hyperparams({"cfg": dict(cfg), "seed": seed})
+    t_start = time.time()
+
+    # ----------------------------------------------- 2/6 tokenizer + tfms
+    from conette_tpu.tokenization import AACTokenizer
+
+    tok_cfg = dict(cfg.get("tok", {}))
+    tokenizer = AACTokenizer(**tok_cfg)
+
+    # -------------------------------------------------- 3/6 dm + model
+    from conette_tpu.data.datamodule import HDFDataModule
+    from conette_tpu.models.conette import (
+        ConetteConfig,
+        add_task_tokens,
+        build_forbid_rep_mask,
+        conette_init,
+    )
+
+    dm_cfg = cfg.get("dm", {})
+    hdf_root = dm_cfg.get("hdf_root", "data/HDF")
+
+    def resolve(paths: list[str]) -> list[str]:
+        return [p if os.path.isabs(p) else os.path.join(hdf_root, p) for p in paths]
+
+    dm = HDFDataModule(
+        tokenizer,
+        train_fpaths=resolve(dm_cfg.get("train_hdfs", [])),
+        val_fpaths=resolve(dm_cfg.get("val_hdfs", [])),
+        test_fpaths=resolve(dm_cfg.get("test_hdfs", [])),
+        bsize=int(dm_cfg.get("bsize", 512)),
+        main_hdf_pattern=dm_cfg.get("main_hdf_pattern"),
+        balance_mode=dm_cfg.get("balance_mode", "none"),
+        n_added_data=dm_cfg.get("n_added_data"),
+        caption_quantum=int(dm_cfg.get("caption_quantum", 4)),
+        caption_max_len=int(dm_cfg.get("caption_max_len", 64)),
+        seed=seed,
+    )
+    dm.setup_fit()
+    dm.setup_test()
+
+    pl_cfg = cfg.get("pl", {})
+    task_mode = pl_cfg.get("task_mode", "ds_src")
+    task_names = tuple(pl_cfg.get("task_names", ("clotho",)))
+    task_token_ids = add_task_tokens(tokenizer, task_names, task_mode)
+
+    model_cfg = ConetteConfig(
+        vocab_size=tokenizer.get_vocab_size(),
+        task_mode=task_mode,
+        task_names=task_names,
+        label_smoothing=float(pl_cfg.get("label_smoothing", 0.2)),
+        mixup_alpha=float(pl_cfg.get("mixup_alpha", 0.4)),
+        min_pred_size=int(pl_cfg.get("min_pred_size", 3)),
+        max_pred_size=int(pl_cfg.get("max_pred_size", 20)),
+        beam_size=int(pl_cfg.get("beam_size", 3)),
+        nhead=int(pl_cfg.get("nhead", 8)),
+        d_model=int(pl_cfg.get("d_model", 256)),
+        num_decoder_layers=int(pl_cfg.get("num_decoder_layers", 6)),
+        decoder_dropout_p=float(pl_cfg.get("decoder_dropout_p", 0.2)),
+        dim_feedforward=int(pl_cfg.get("dim_feedforward", 2048)),
+        bos_id=tokenizer.bos_token_id,
+        eos_id=tokenizer.eos_token_id,
+        pad_id=tokenizer.pad_token_id,
+    )
+
+    def task_token_fn(item: dict) -> int:
+        if task_mode == "none":
+            return model_cfg.bos_id
+        name = item["dataset"]
+        if task_mode == "ds_src" and item.get("source"):
+            name = f"{item['dataset']}_{item['source']}".lower()
+        return task_token_ids.get(name, model_cfg.bos_id)
+
+    dm.task_token_fn = task_token_fn
+
+    # train-time audio transform (production: SpecAugmentRatio on embs)
+    tr_cfg = cfg.get("trainer", {})
+    aug_name = dm_cfg.get("train_audio_transform", "none")
+    spec_aug_fn = None
+    if aug_name == "spec_augment_ratio":
+        from conette_tpu.train.augment import spec_augment_ratio
+
+        spec_aug_fn = spec_augment_ratio
+
+    params = conette_init(jax.random.PRNGKey(seed), model_cfg)
+
+    from conette_tpu.utils.csum import csum_module
+
+    pylog.info(f"Model csum at start: {csum_module(params)}")
+    logger.log_hyperparams({"start_csum": csum_module(params)})
+
+    # resume (weight-only warm start)
+    if cfg.get("resume"):
+        from conette_tpu.train.checkpoint import load_checkpoint
+        from conette_tpu.huggingface.convert import flatten_pytree, unflatten_pytree
+
+        loaded = load_checkpoint(cfg["resume"], cfg.get("ign_weights"))
+        flat = flatten_pytree(params)
+        flat.update(flatten_pytree(loaded["params"]))
+        params = unflatten_pytree(flat)
+        pylog.info(f"Resumed weights from {cfg['resume']} (csum {csum_module(params)})")
+
+    from conette_tpu.train.optim import get_optimizer
+    from conette_tpu.train.step import TrainState, init_train_state
+
+    max_epochs = int(tr_cfg.get("max_epochs", 400))
+    tx, _ = get_optimizer(
+        params,
+        optim_name=pl_cfg.get("optim_name", "AdamW"),
+        lr=float(pl_cfg.get("lr", 5e-4)),
+        weight_decay=float(pl_cfg.get("weight_decay", 2.0)),
+        betas=tuple(pl_cfg.get("betas", (0.9, 0.999))),
+        eps=float(pl_cfg.get("eps", 1e-8)),
+        use_custom_wd=bool(pl_cfg.get("use_custom_wd", True)),
+        sched_name=pl_cfg.get("sched_name", "cos_decay"),
+        sched_n_steps=max_epochs,
+    )
+    state = init_train_state(params, tx)
+
+    # ------------------------------------------------------------ 4/6 fit
+    import optax
+
+    from conette_tpu.train.objective import training_loss, validation_loss
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(p):
+            return training_loss(p, model_cfg, batch, rng)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, opt_state, state.step + 1),
+            {"train/loss": loss, "train/grad_norm": optax.global_norm(grads)},
+        )
+
+    train_step = jax.jit(train_step, donate_argnums=(0,))
+    val_loss_fn = jax.jit(
+        lambda p, batch: validation_loss(p, model_cfg, batch)
+    )
+
+    gen_fn = _make_gen_fn(model_cfg)
+    forbid_np = build_forbid_rep_mask(tokenizer, "content_words")
+    forbid = jnp.asarray(forbid_np)
+
+    from conette_tpu.train.checkpoint import CheckpointManager
+    from conette_tpu.train.evaluation import Evaluator, Validator
+    from conette_tpu.metrics.functional import fense as fense_mod
+
+    ck_cfg = cfg.get("ckpts", {})
+    monitor = ck_cfg.get("monitor", "val/fense")
+    if "fense" in monitor and not fense_mod.is_available():
+        monitor = ck_cfg.get("fallback_monitor", "val/cider_d")
+        pylog.info(f"FENSE unavailable; monitoring {monitor} instead")
+    ckpt = CheckpointManager(
+        os.path.join(run_dir, "checkpoints"),
+        monitor=monitor,
+        mode=ck_cfg.get("mode", "max"),
+        top_k=int(ck_cfg.get("top_k", 1)),
+        save_after_epoch=int(ck_cfg.get("save_after_epoch", 0)),
+    )
+    validator = Validator(monitors=(monitor,))
+
+    lim_train = tr_cfg.get("limit_train_batches")
+    lim_val = tr_cfg.get("limit_val_batches")
+    lim_test = tr_cfg.get("limit_test_batches")
+    rng = jax.random.PRNGKey(seed)
+
+    aug_rng = jax.random.fold_in(rng, 7)
+    aug_jit = jax.jit(spec_aug_fn) if spec_aug_fn is not None else None
+
+    def to_train_batch(b: dict, step: int) -> dict:
+        batch = {
+            "audio": jnp.asarray(b["audio"]),
+            "audio_lens": jnp.asarray(b["audio_lens"]),
+            "captions": jnp.asarray(b["captions"]),
+        }
+        if aug_jit is not None:
+            batch["audio"] = aug_jit(jax.random.fold_in(aug_rng, step), batch["audio"])
+        return batch
+
+    global_step = 0
+    fit_start = time.time()
+    last_train_loss = None
+    for epoch in range(max_epochs):
+        for i, b in enumerate(dm.train_batches(epoch)):
+            if lim_train is not None and i >= lim_train:
+                break
+            state, metrics = train_step(state, to_train_batch(b, global_step), rng)
+            global_step += 1
+            if i == 0:
+                logger.log_metrics(
+                    {k: float(v) for k, v in metrics.items()}
+                    | {"epoch": epoch},
+                    step=global_step,
+                )
+            last_train_loss = float(metrics["train/loss"])
+        # NaN guard (twin of the reference's check_finite EarlyStopping,
+        # train.py:188-194)
+        if last_train_loss is not None and not np.isfinite(last_train_loss):
+            pylog.error(f"Non-finite train loss at epoch {epoch}; stopping early.")
+            break
+
+        # ---- validation
+        if dm.num_eval_loaders("val") > 0 and (
+            epoch % int(tr_cfg.get("val_every_n_epochs", 1)) == 0
+        ):
+            validator.reset()
+            val_losses = []
+            for j, b in enumerate(dm.eval_batches("val")):
+                if lim_val is not None and j >= lim_val:
+                    break
+                vb = {
+                    "audio": jnp.asarray(b["audio"]),
+                    "audio_lens": jnp.asarray(b["audio_lens"]),
+                    "mult_captions": jnp.asarray(b["mult_captions"]),
+                }
+                val_losses.append(float(val_loss_fn(state.params, vb)))
+                bos = jnp.asarray(b["mult_captions"][:, 0, 0])
+                preds, _ = gen_fn(state.params, vb["audio"], vb["audio_lens"], bos, forbid)
+                cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
+                validator.add_batch(cands, b["mult_references"])
+            val_metrics = validator.compute()
+            val_metrics["val/loss"] = float(np.mean(val_losses)) if val_losses else 0.0
+            logger.log_metrics(val_metrics | {"epoch": epoch}, step=global_step)
+            ckpt.step(
+                epoch, val_metrics, state.params,
+                tokenizer=tokenizer,
+                extra_meta={
+                    "global_step": global_step,
+                    "model_cfg": {
+                        k: (list(v) if isinstance(v, tuple) else v)
+                        for k, v in model_cfg._asdict().items()
+                    },
+                },
+            )
+    fit_duration = time.time() - fit_start
+    logger.log_metrics({"fit_duration_s": fit_duration})
+
+    # ------------------------------------------------------------ 5/6 test
+    test_scores: dict[str, Any] = {}
+    if cfg.get("test_after_fit", True) and dm.num_eval_loaders("test") > 0:
+        best_params = state.params
+        if ckpt.best_dir is not None:
+            from conette_tpu.train.checkpoint import load_checkpoint
+
+            best_params = load_checkpoint(ckpt.best_dir)["params"]
+            pylog.info(f"Testing with best checkpoint {ckpt.best_dir}")
+        from conette_tpu.metrics import AllMetrics
+
+        evaluator = Evaluator(
+            run_dir,
+            model_name="best",
+            metrics=AllMetrics(train_vocab=list(tokenizer.get_vocab())),
+        )
+        for dl_idx in range(dm.num_eval_loaders("test")):
+            for j, b in enumerate(dm.eval_batches("test", dl_idx)):
+                if lim_test is not None and j >= lim_test:
+                    break
+                audio = jnp.asarray(b["audio"])
+                lens = jnp.asarray(b["audio_lens"])
+                bos = jnp.asarray(b["mult_captions"][:, 0, 0])
+                preds, lprobs = gen_fn(best_params, audio, lens, bos, forbid)
+                cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
+                evaluator.add_batch(
+                    cands,
+                    b["mult_references"],
+                    fnames=b.get("fname"),
+                    dataset=b["dataset"][0] if b.get("dataset") else "unknown",
+                    subset=b["subset"][0] if b.get("subset") else "test",
+                    lprobs=np.asarray(lprobs),
+                )
+        test_scores = evaluator.compute_and_export()
+        for corpus, scores in test_scores.items():
+            logger.log_metrics(
+                {f"test/{corpus}/{k}": v for k, v in scores.items()}
+            )
+
+    # ------------------------------------------------------- 6/6 artifacts
+    tokenizer.save_file(os.path.join(run_dir, "tokenizer.json"))
+    _save_vocab_csv(tokenizer, os.path.join(run_dir, "vocab.csv"))
+    logger.log_hyperparams(
+        {
+            "end_csum": csum_module(state.params),
+            "n_params": int(
+                sum(np.prod(p.shape) for p in jax.tree.leaves(state.params))
+            ),
+            "total_duration_s": round(time.time() - t_start, 1),
+            "best_monitor": ckpt.best_score,
+            "best_ckpt": ckpt.best_dir,
+        }
+    )
+    logger.finalize()
+    pylog.info(
+        f"Done: best {monitor}={ckpt.best_score} "
+        f"({time.time() - t_start:.0f}s, run dir {run_dir})"
+    )
+    return {"run_dir": run_dir, "best": ckpt.best_score, "test": test_scores}
+
+
+def _make_gen_fn(model_cfg):
+    import jax
+
+    from conette_tpu.models.conette import encode_audio, forward_generate
+
+    @jax.jit
+    def gen(params, audio, lens, bos, forbid):
+        memory, pad_mask = encode_audio(params, model_cfg, audio, lens)
+        res = forward_generate(
+            params, model_cfg, memory, pad_mask, bos, forbid_rep_mask=forbid
+        )
+        return res.best_preds, res.best_avg_lprobs
+
+    return gen
+
+
+def _decode_preds(tokenizer, eos_id: int, preds: np.ndarray) -> list[str]:
+    out = []
+    for row in preds:
+        toks = []
+        for t in row.tolist():
+            if t == eos_id:
+                break
+            toks.append(t)
+        out.append(tokenizer.decode_single(toks))
+    return out
+
+
+def _save_vocab_csv(tokenizer, fpath: str) -> None:
+    import csv
+
+    with open(fpath, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["token", "id", "count"])
+        for token, count in tokenizer.get_vocab().items():
+            writer.writerow([token, tokenizer.token_to_id(token), count])
+
+
+if __name__ == "__main__":
+    main_train()

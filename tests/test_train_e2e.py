@@ -1,0 +1,115 @@
+"""End-to-end training smoke test, mirroring the reference training CI
+(.github/workflows/training.yaml:60-98): pack a mini HDF → conette-train
+with the lim2 trainer (1 epoch, 2 batches) → predict from the fresh run
+dir. Runs on the virtual CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conette_tpu.data.datasets import DummyAACDataset
+from conette_tpu.data.hdf import pack_to_hdf
+
+
+@pytest.fixture(scope="module")
+def hdf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hdf")
+    for name, subset, size, seed in [
+        ("clotho", "dev", 12, 0),
+        ("clotho", "val", 6, 1),
+        ("clotho", "eval", 6, 2),
+    ]:
+        ds = DummyAACDataset(size=size, seed=seed, dataset_name=name, subset=subset)
+        pack_to_hdf(ds, str(d / f"{name}_{subset}_x.hdf"))
+    return str(d)
+
+
+def test_main_train_smoke(hdf_dir, tmp_path):
+    from conette_tpu.train.main import main_train
+
+    out = main_train(
+        [
+            "trainer=lim2",
+            "ckpts=loss",
+            f"dm.hdf_root={hdf_dir}",
+            "dm.train_hdfs=[clotho_dev_x.hdf]",
+            "dm.val_hdfs=[clotho_val_x.hdf]",
+            "dm.test_hdfs=[clotho_eval_x.hdf]",
+            "dm.bsize=3",
+            "pl.d_model=32",
+            "pl.nhead=2",
+            "pl.num_decoder_layers=2",
+            "pl.dim_feedforward=64",
+            "pl.max_pred_size=6",
+            "pl.min_pred_size=1",
+            "pl.beam_size=2",
+            f"log_root={tmp_path}/logs",
+        ]
+    )
+    run_dir = out["run_dir"]
+    # artifacts
+    assert os.path.isfile(os.path.join(run_dir, "hparams.yaml"))
+    assert os.path.isfile(os.path.join(run_dir, "metrics.yaml"))
+    assert os.path.isfile(os.path.join(run_dir, "tokenizer.json"))
+    assert os.path.isfile(os.path.join(run_dir, "vocab.csv"))
+    assert os.path.isfile(os.path.join(run_dir, "endfile.txt"))
+    # checkpoints with best link
+    best = os.path.join(run_dir, "checkpoints", "best")
+    assert os.path.isdir(best)
+    assert os.path.isfile(os.path.join(best, "params.npz"))
+    # test scoring ran and exported CSVs
+    assert out["test"], "expected test corpus scores"
+    corpus = next(iter(out["test"]))
+    assert "cider_d" in out["test"][corpus]
+    assert os.path.isfile(os.path.join(run_dir, f"best_outputs_{corpus}.csv"))
+    assert os.path.isfile(os.path.join(run_dir, f"submission_output_{corpus}.csv"))
+
+    # --- predict from the fresh run dir (CI parity: conette-predict --model_path)
+    from conette_tpu import get_sample_path
+    from conette_tpu.predict import main_predict
+
+    csv_out = str(tmp_path / "preds.csv")
+    rc = main_predict(
+        [
+            "--audio", get_sample_path(),
+            "--task", "clotho",
+            "--model_path", run_dir,
+            "--csv_export", csv_out,
+            "--verbose", "0",
+        ]
+    )
+    assert rc == 0
+    assert os.path.isfile(csv_out)
+    import csv as csv_mod
+
+    with open(csv_out) as f:
+        rows = list(csv_mod.DictReader(f))
+    assert len(rows) == 1
+    assert set(rows[0]) == {"audio", "task", "candidate"}
+
+
+def test_config_composition():
+    from conette_tpu.config import load_config
+
+    cfg = load_config("train", ["trainer=lim2", "dm.bsize=7", "pl.d_model=128"])
+    assert cfg.trainer["max_epochs"] == 1
+    assert cfg.dm["bsize"] == 7
+    assert cfg.pl["d_model"] == 128
+    assert cfg.pl["task_mode"] == "ds_src"
+
+
+def test_config_expt_preset_applies_last():
+    from conette_tpu.config import load_config
+
+    cfg = load_config("train", ["expt=[clotho_cnext_bl,task_ds_src_camw]"])
+    assert cfg.dm["train_hdfs"] == ["clotho_dev_resample_mean_convnext_ident.hdf"]
+    assert len(cfg.pl["task_names"]) == 7
+
+
+def test_config_unknown_group_option_lists_available():
+    from conette_tpu.config import load_config
+
+    with pytest.raises(FileNotFoundError) as err:
+        load_config("train", ["trainer=nope"])
+    assert "fit_test" in str(err.value)
