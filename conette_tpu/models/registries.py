@@ -1,0 +1,101 @@
+"""Pretrained-checkpoint registries.
+
+Twin of the reference weight registries (``src/conette/nn/ckpt.py:8-113``):
+named entries with source URL + checksum + architecture so callers can
+fetch (on connected hosts) or point at pre-downloaded files (egress-less
+TPU hosts honour ``CONETTE_CKPT_DIR``). ``cnext_bl_75`` is the production
+ConvNeXt encoder.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, NamedTuple
+
+pylog = logging.getLogger(__name__)
+
+DEFAULT_CKPT_DIR = os.path.expanduser("~/.cache/conette_tpu/checkpoints")
+
+
+class RegistryEntry(NamedTuple):
+    name: str
+    architecture: str
+    url: str
+    fname: str
+    hash_value: str | None = None
+    hash_type: str = "md5"
+    state_dict_key: str | None = "model"
+
+
+CNEXT_REGISTRY: dict[str, RegistryEntry] = {
+    "cnext_nobl": RegistryEntry(
+        name="cnext_nobl",
+        architecture="ConvNeXt-Tiny",
+        url="https://zenodo.org/record/8020843/files/convnext_tiny_465mAP_BL_AC_70kit.pth?download=1",
+        fname="convnext_tiny_465mAP_BL_AC_70kit.pth",
+    ),
+    "cnext_bl_70": RegistryEntry(
+        name="cnext_bl_70",
+        architecture="ConvNeXt-Tiny",
+        url="https://zenodo.org/record/8020843/files/convnext_tiny_471mAP_BL_AC_70kit.pth?download=1",
+        fname="convnext_tiny_471mAP_BL_AC_70kit.pth",
+    ),
+    # production encoder for CoNeTTE (nn/ckpt.py: cnext_bl_75)
+    "cnext_bl_75": RegistryEntry(
+        name="cnext_bl_75",
+        architecture="ConvNeXt-Tiny",
+        url="https://zenodo.org/record/8020843/files/convnext_tiny_471mAP_BL_AC_75kit.pth?download=1",
+        fname="convnext_tiny_471mAP_BL_AC_75kit.pth",
+    ),
+}
+
+PANN_REGISTRY: dict[str, RegistryEntry] = {
+    name: RegistryEntry(
+        name=name,
+        architecture=arch,
+        url=f"https://zenodo.org/record/3987831/files/{fname}?download=1",
+        fname=fname,
+    )
+    for name, arch, fname in [
+        ("Cnn10", "Cnn10", "Cnn10_mAP=0.380.pth"),
+        ("Cnn14", "Cnn14", "Cnn14_mAP=0.431.pth"),
+        ("Cnn14_16k", "Cnn14_16k", "Cnn14_16k_mAP=0.438.pth"),
+        ("Cnn14_DecisionLevelAtt", "Cnn14_DecisionLevelAtt", "Cnn14_DecisionLevelAtt_mAP=0.425.pth"),
+        ("Cnn6", "Cnn6", "Cnn6_mAP=0.343.pth"),
+        ("MobileNetV1", "MobileNetV1", "MobileNetV1_mAP=0.389.pth"),
+        ("MobileNetV2", "MobileNetV2", "MobileNetV2_mAP=0.383.pth"),
+        ("ResNet22", "ResNet22", "ResNet22_mAP=0.430.pth"),
+        ("Wavegram_Logmel_Cnn14", "Wavegram_Logmel_Cnn14", "Wavegram_Logmel_Cnn14_mAP=0.439.pth"),
+    ]
+}
+
+
+def resolve_checkpoint(entry: RegistryEntry, ckpt_dir: str | None = None) -> str:
+    """Local path of a registry checkpoint; raises with instructions when the
+    file is absent (no implicit downloads on egress-less hosts)."""
+    ckpt_dir = ckpt_dir or os.environ.get("CONETTE_CKPT_DIR", DEFAULT_CKPT_DIR)
+    fpath = os.path.join(ckpt_dir, entry.fname)
+    if os.path.isfile(fpath):
+        return fpath
+    raise FileNotFoundError(
+        f"Checkpoint {entry.name!r} not found at {fpath!r}. Download "
+        f"{entry.url} to {ckpt_dir} (or set CONETTE_CKPT_DIR)."
+    )
+
+
+def load_registry_encoder(name: str, ckpt_dir: str | None = None) -> Any:
+    """Load + convert a registry ConvNeXt checkpoint into a JAX pytree."""
+    if name not in CNEXT_REGISTRY:
+        raise KeyError(f"Unknown encoder {name!r} (known: {list(CNEXT_REGISTRY)})")
+    fpath = resolve_checkpoint(CNEXT_REGISTRY[name], ckpt_dir)
+    import torch
+
+    from conette_tpu.huggingface.convert import convert_convnext
+
+    state = torch.load(fpath, map_location="cpu", weights_only=False)
+    entry = CNEXT_REGISTRY[name]
+    if entry.state_dict_key and entry.state_dict_key in state:
+        state = state[entry.state_dict_key]
+    state = {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
+    return convert_convnext(state, prefix="")

@@ -1,0 +1,299 @@
+"""conette-prepare — dataset download, filtering and HDF packing.
+
+Orchestration twin of the reference ``main_prepare``
+(``src/conette/prepare.py:548-593``):
+
+- model/resource downloads become registry resolution (egress-less hosts
+  point ``CONETTE_CKPT_DIR`` at pre-fetched files; the reference downloads
+  nltk/spacy/PANN/CNext checkpoints at ``prepare.py:66-136``);
+- datasets resolve from **local audio directories + caption CSVs** (the
+  reference pulls AudioCaps/Clotho/MACS/WavCaps via aac-datasets at
+  ``prepare.py:139-276`` — network datasets must be staged locally here);
+- filtering by index range / duration / sample rate with disk-cached
+  metadata (``prepare.py:279-366``);
+- packing each subset through the frozen ConvNeXt frontend
+  (resample → mean → log-mel → frame embeddings) into deterministic
+  ``{data}_{subset}_{audio_t}_{text_t}.hdf`` files (``prepare.py:369-504``),
+  batched on the accelerator;
+- a debug sanity pass that re-encodes one random item and compares it with
+  the packed row (``prepare.py:485-545``).
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import random
+import sys
+from typing import Any, Optional
+
+import numpy as np
+
+pylog = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------- local data
+def load_audio_metadata(fpath: str) -> dict[str, Any]:
+    """Duration/sample-rate metadata of one file (disk-cached by callers;
+    twin of the torchaudio.info cache, ``prepare.py:279-366``)."""
+    from conette_tpu.utils.audio_io import load_wav
+
+    wav, sr = load_wav(fpath)
+    return {
+        "sample_rate": sr,
+        "num_frames": wav.shape[1],
+        "num_channels": wav.shape[0],
+        "duration_s": wav.shape[1] / sr,
+    }
+
+
+def scan_local_dataset(
+    audio_dir: str,
+    captions_csv: str,
+    dataset_name: str,
+    subset: str,
+    source: str | None = None,
+) -> "LocalAudioDataset":
+    """Build a dataset from a directory of WAVs + a captions CSV with
+    columns ``file_name,caption`` (one row per reference)."""
+    captions: dict[str, list[str]] = {}
+    with open(captions_csv) as f:
+        for row in csv.DictReader(f):
+            captions.setdefault(row["file_name"], []).append(row["caption"])
+    fnames = sorted(captions.keys())
+    missing = [f for f in fnames if not os.path.isfile(os.path.join(audio_dir, f))]
+    if missing:
+        pylog.warning(f"{len(missing)} caption rows without audio files (skipped)")
+        fnames = [f for f in fnames if f not in set(missing)]
+    return LocalAudioDataset(audio_dir, fnames, captions, dataset_name, subset, source)
+
+
+class LocalAudioDataset:
+    """AACDatasetLike over local audio files."""
+
+    def __init__(self, audio_dir, fnames, captions, dataset, subset, source) -> None:
+        self._audio_dir = audio_dir
+        self._fnames = fnames
+        self._captions = captions
+        self._dataset = dataset
+        self._subset = subset
+        self._source = source
+
+    @property
+    def column_names(self) -> list[str]:
+        return ["audio", "captions", "dataset", "subset", "source", "fname"]
+
+    def at(self, idx: int, column: str) -> Any:
+        fname = self._fnames[idx]
+        if column == "audio":
+            from conette_tpu.utils.audio_io import load_wav
+
+            return load_wav(os.path.join(self._audio_dir, fname))
+        if column == "captions":
+            return self._captions[fname]
+        if column == "dataset":
+            return self._dataset
+        if column == "subset":
+            return self._subset
+        if column == "source":
+            return self._source
+        if column == "fname":
+            return fname
+        raise KeyError(column)
+
+    def __getitem__(self, idx: int) -> dict[str, Any]:
+        return {c: self.at(idx, c) for c in self.column_names}
+
+    def __len__(self) -> int:
+        return len(self._fnames)
+
+
+def filter_dataset(
+    dataset: LocalAudioDataset,
+    *,
+    min_duration_s: float = 0.1,
+    max_duration_s: float = 30.0,
+    accepted_sample_rates: tuple[int, ...] | None = None,
+    index_range: tuple[int, int] | None = None,
+) -> list[int]:
+    """Indexes passing duration / sample-rate / index filters
+    (``prepare.py:279-366``)."""
+    from conette_tpu.utils.disk_cache import disk_cache
+
+    cached_meta = disk_cache(load_audio_metadata)
+    keep: list[int] = []
+    for i in range(len(dataset)):
+        if index_range is not None and not (index_range[0] <= i < index_range[1]):
+            continue
+        fpath = os.path.join(dataset._audio_dir, dataset._fnames[i])
+        meta = cached_meta(fpath)
+        if not (min_duration_s <= meta["duration_s"] <= max_duration_s):
+            continue
+        if (
+            accepted_sample_rates is not None
+            and meta["sample_rate"] not in accepted_sample_rates
+        ):
+            continue
+        keep.append(i)
+    if len(keep) < len(dataset):
+        pylog.info(f"Filtered {len(dataset) - len(keep)}/{len(dataset)} items")
+    return keep
+
+
+# --------------------------------------------------------- frontend packing
+class ConvNeXtFrontend:
+    """The offline ``resample_mean_convnext`` transform
+    (twin of ``src/conette/transforms/get.py:240-310``): per-clip
+    resample → channel mean → frozen ConvNeXt → (T, 768) frame embeddings
+    (+ clip probs), batched on the accelerator."""
+
+    def __init__(self, encoder_params: Any | None = None, seed: int = 0) -> None:
+        from conette_tpu.huggingface.preprocessor import CoNeTTEPreprocessor
+
+        self.preprocessor = CoNeTTEPreprocessor(encoder_params, seed=seed)
+
+    def __call__(self, wav_and_sr: tuple[np.ndarray, int]) -> np.ndarray:
+        wav, sr = wav_and_sr
+        batch = self.preprocessor(np.asarray(wav)[None], sr=sr)
+        n = int(np.asarray(batch["audio_shape"])[0, 1])
+        return np.asarray(batch["audio"])[0, :n].astype(np.float32)
+
+    def encode_dataset_batched(
+        self, dataset: Any, indexes: list[int], batch_size: int = 8
+    ) -> list[np.ndarray]:
+        out: list[np.ndarray] = []
+        for start in range(0, len(indexes), batch_size):
+            chunk = indexes[start : start + batch_size]
+            wavs, srs = [], []
+            for i in chunk:
+                wav, sr = dataset.at(i, "audio")
+                wavs.append(wav)
+                srs.append(sr)
+            batch = self.preprocessor(wavs, sr=srs)
+            embs = np.asarray(batch["audio"])
+            lens = np.asarray(batch["audio_shape"])[:, 1]
+            out.extend(embs[j, : int(lens[j])].astype(np.float32) for j in range(len(chunk)))
+        return out
+
+
+def pack_dataset_to_hdf(
+    dataset: LocalAudioDataset,
+    out_dir: str,
+    *,
+    audio_t_name: str = "resample_mean_convnext",
+    text_t_name: str = "ident",
+    encoder_params: Any | None = None,
+    batch_size: int = 8,
+    indexes: list[int] | None = None,
+    overwrite: bool = False,
+    debug_check: bool = False,
+) -> str:
+    """Encode + pack one subset with the deterministic reference naming
+    ``{data}_{subset}_{audio_t}_{text_t}.hdf`` (``prepare.py:369-504``)."""
+    from conette_tpu.data.datasets import DictDataset
+    from conette_tpu.data.hdf import pack_to_hdf
+
+    if indexes is None:
+        indexes = list(range(len(dataset)))
+    frontend = ConvNeXtFrontend(encoder_params)
+    embs = frontend.encode_dataset_batched(dataset, indexes, batch_size)
+
+    columns: dict[str, list] = {
+        "audio": embs,
+        "audio_lens": [int(e.shape[0]) for e in embs],
+        "captions": [dataset.at(i, "captions") for i in indexes],
+        "dataset": [dataset.at(i, "dataset") for i in indexes],
+        "subset": [dataset.at(i, "subset") for i in indexes],
+        "source": [dataset.at(i, "source") for i in indexes],
+        "fname": [dataset.at(i, "fname") for i in indexes],
+    }
+    packed = DictDataset(columns)
+    name = f"{columns['dataset'][0]}_{columns['subset'][0]}_{audio_t_name}_{text_t_name}.hdf"
+    fpath = os.path.join(out_dir, name)
+    os.makedirs(out_dir, exist_ok=True)
+    pack_to_hdf(packed, fpath, overwrite=overwrite)
+
+    if debug_check:
+        from conette_tpu.data.hdf import HDFDataset
+
+        loaded = HDFDataset(fpath)
+        j = random.Random(0).randrange(len(indexes))
+        re_enc = frontend(dataset.at(indexes[j], "audio"))
+        packed_audio = loaded.at(j, "audio")
+        if not np.allclose(re_enc, packed_audio, atol=1e-4):
+            raise RuntimeError(
+                f"HDF sanity check failed for item {j} of {fpath} "
+                f"(max diff {np.abs(re_enc - packed_audio).max()})"
+            )
+        pylog.info(f"HDF sanity check OK for {fpath}")
+    return fpath
+
+
+# ----------------------------------------------------------------- main CLI
+def get_prepare_args(argv: Optional[list[str]] = None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Pack local audio datasets into HDF for conette-train."
+    )
+    parser.add_argument("--audio_dir", type=str, required=False)
+    parser.add_argument("--captions_csv", type=str, required=False)
+    parser.add_argument("--dataset", type=str, default="clotho")
+    parser.add_argument("--subset", type=str, default="dev")
+    parser.add_argument("--source", type=str, default=None)
+    parser.add_argument("--out_dir", type=str, default="data/HDF")
+    parser.add_argument("--encoder", type=str, default=None,
+                        help="Registry name (e.g. cnext_bl_75) or params.npz path.")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--min_duration", type=float, default=0.1)
+    parser.add_argument("--max_duration", type=float, default=30.0)
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--verbose", type=int, default=1)
+    return parser.parse_args(argv)
+
+
+def main_prepare(argv: Optional[list[str]] = None) -> int:
+    args = get_prepare_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s | %(message)s")
+    if not args.audio_dir or not args.captions_csv:
+        pylog.error(
+            "conette-prepare packs LOCAL datasets on egress-less TPU hosts: "
+            "pass --audio_dir and --captions_csv (file_name,caption rows). "
+            "The reference's aac-datasets downloads must be staged beforehand."
+        )
+        return 2
+
+    encoder_params = None
+    if args.encoder:
+        if os.path.isfile(args.encoder):
+            from conette_tpu.huggingface.convert import load_params_npz
+
+            encoder_params = load_params_npz(args.encoder)
+        else:
+            from conette_tpu.models.registries import load_registry_encoder
+
+            encoder_params = load_registry_encoder(args.encoder)
+
+    dataset = scan_local_dataset(
+        args.audio_dir, args.captions_csv, args.dataset, args.subset, args.source
+    )
+    indexes = filter_dataset(
+        dataset, min_duration_s=args.min_duration, max_duration_s=args.max_duration
+    )
+    fpath = pack_dataset_to_hdf(
+        dataset,
+        args.out_dir,
+        encoder_params=encoder_params,
+        batch_size=args.batch_size,
+        indexes=indexes,
+        overwrite=args.overwrite,
+        debug_check=args.debug,
+    )
+    pylog.info(f"Packed {len(indexes)} items → {fpath}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main_prepare())
