@@ -172,6 +172,7 @@ def convnext_apply(
     rng: jax.Array | None = None,
     compute_dtype: jnp.dtype = jnp.float32,
     spec_augment_fn: Any = None,
+    use_fused_frontend: bool | None = None,
 ) -> dict[str, jax.Array]:
     """Full encoder forward.
 
@@ -183,19 +184,40 @@ def convnext_apply(
         (B,), and ``clipwise_output`` (B, 527).
     Output contract parity: ``convnext.py:264-336``.
     """
-    if waveform_input:
-        mel = logmel_spectrogram(waveform, logmel_cfg, compute_dtype=compute_dtype)
+    if use_fused_frontend is None:
+        # Default OFF: on v5e the XLA-fused jnp path currently beats the
+        # Pallas kernel end-to-end (the gather→matmul chain fuses well and
+        # avoids the kernel's lane-padding copies); the kernel stays
+        # available and golden-tested for explicit opt-in.
+        use_fused_frontend = False
+
+    bn_stats = None
+    if waveform_input and use_fused_frontend and deterministic:
+        # Fused Pallas frontend with the inference BN folded into the
+        # kernel's affine epilogue (ops/pallas/logmel.py).
+        from conette_tpu.ops.pallas.logmel import fused_logmel
+
+        bn = params["bn0"]
+        scale = bn["weight"] * jax.lax.rsqrt(bn["running_var"] + 1e-5)
+        shift = bn["bias"] - bn["running_mean"] * scale
+        mel = fused_logmel(
+            waveform, logmel_cfg, bn_scale=scale, bn_shift=shift,
+            compute_dtype=compute_dtype,
+        )
         input_time_len = waveform.shape[-1]
     else:
-        mel = waveform
-        input_time_len = waveform.shape[1]
-    # (B, T, F) → BN over mel bins (reference bn0 transpose trick,
-    # convnext.py:290-292) → NHWC (B, T, F, 1)
-    if deterministic:
-        mel = batch_norm_inference(params["bn0"], mel, axis=-1)
-        bn_stats = None
-    else:
-        mel, bn_stats = batch_norm_train(params["bn0"], mel, axis=-1)
+        if waveform_input:
+            mel = logmel_spectrogram(waveform, logmel_cfg, compute_dtype=compute_dtype)
+            input_time_len = waveform.shape[-1]
+        else:
+            mel = waveform
+            input_time_len = waveform.shape[1]
+        # (B, T, F) → BN over mel bins (reference bn0 transpose trick,
+        # convnext.py:290-292) → NHWC (B, T, F, 1)
+        if deterministic:
+            mel = batch_norm_inference(params["bn0"], mel, axis=-1)
+        else:
+            mel, bn_stats = batch_norm_train(params["bn0"], mel, axis=-1)
 
     if spec_augment_fn is not None and not deterministic:
         mel = spec_augment_fn(mel)
