@@ -1,0 +1,226 @@
+"""PANN encoder family in functional JAX (NHWC).
+
+Capability twins of the reference's alternative encoders
+(``src/conette/nn/encoders/cnn10.py:23-424``, ``cnn14.py:27-216``,
+``cnn14_decisionlevel_att.py:23-245`` over the vendored PANN model zoo
+``nn/pann_utils/models.py``):
+
+- shared ``ConvBlock``: 3×3 conv → BN → ReLU twice, then 2×2 avg-pool;
+- ``Cnn10``: 4 blocks (64→512), 64-mel frontend, 512-d frame embeddings;
+- ``Cnn14``: 6 blocks (64→2048), 2048-d frame embeddings + fc1 clip head;
+- ``Cnn14_DecisionLevelAtt``: attention-pooled clipwise output
+  (``AttBlock``: softmax-attention conv1d over frames).
+
+All share the reference output contract
+``{frame_embs (B, C, T'), frame_embs_lens (B,), clipwise_output (B, 527)}``
+so they are drop-in encoder choices for the captioning stack (the CoNeTTE
+projection accepts any ``proj_in`` width).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from conette_tpu.models.layers import (
+    Params,
+    batch_norm_inference,
+    batch_norm_init,
+    batch_norm_train,
+    conv2d,
+    conv2d_init,
+    dropout,
+    linear,
+    linear_init,
+)
+from conette_tpu.ops.frontend import LogMelConfig, logmel_spectrogram
+
+PANN_LOGMEL = LogMelConfig(n_mels=64)
+NUM_AUDIOSET_CLASSES = 527
+
+CNN10_CHANNELS = (64, 128, 256, 512)
+CNN14_CHANNELS = (64, 128, 256, 512, 1024, 2048)
+
+
+# ----------------------------------------------------------------- ConvBlock
+def conv_block_init(key: jax.Array, in_ch: int, out_ch: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": conv2d_init(k1, in_ch, out_ch, (3, 3), init="torch"),
+        "bn1": batch_norm_init(out_ch),
+        "conv2": conv2d_init(k2, out_ch, out_ch, (3, 3), init="torch"),
+        "bn2": batch_norm_init(out_ch),
+    }
+
+
+def conv_block(
+    params: Params,
+    x: jax.Array,
+    *,
+    pool_size: tuple[int, int] = (2, 2),
+    pool_type: str = "avg",
+    deterministic: bool = True,
+) -> tuple[jax.Array, list[Params]]:
+    """NHWC ConvBlock (PANN ``ConvBlock`` twin). Returns (y, new_bn_stats)."""
+    new_stats: list[Params] = []
+
+    def bn(bp: Params, y: jax.Array) -> jax.Array:
+        if deterministic:
+            return batch_norm_inference(bp, y, axis=-1)
+        out, stats = batch_norm_train(bp, y, axis=-1)
+        new_stats.append(stats)
+        return out
+
+    y = conv2d(params["conv1"], x, padding=((1, 1), (1, 1)))
+    y = jax.nn.relu(bn(params["bn1"], y))
+    y = conv2d(params["conv2"], y, padding=((1, 1), (1, 1)))
+    y = jax.nn.relu(bn(params["bn2"], y))
+    if pool_type == "avg":
+        y = jax.lax.reduce_window(
+            y, 0.0, jax.lax.add,
+            (1, pool_size[0], pool_size[1], 1), (1, pool_size[0], pool_size[1], 1),
+            "VALID",
+        ) / (pool_size[0] * pool_size[1])
+    elif pool_type == "max":
+        y = jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max,
+            (1, pool_size[0], pool_size[1], 1), (1, pool_size[0], pool_size[1], 1),
+            "VALID",
+        )
+    return y, new_stats
+
+
+# --------------------------------------------------------------------- init
+def pann_init(
+    key: jax.Array,
+    channels: tuple[int, ...] = CNN14_CHANNELS,
+    num_classes: int = NUM_AUDIOSET_CLASSES,
+    n_mels: int = 64,
+    att_head: bool = False,
+) -> Params:
+    keys = iter(jax.random.split(key, len(channels) + 4))
+    params: Params = {
+        "bn0": batch_norm_init(n_mels),
+        "blocks": [],
+        "fc1": linear_init(next(keys), channels[-1], channels[-1], init="torch"),
+    }
+    in_ch = 1
+    for ch in channels:
+        params["blocks"].append(conv_block_init(next(keys), in_ch, ch))
+        in_ch = ch
+    if att_head:
+        params["att"] = {
+            "att": linear_init(next(keys), channels[-1], num_classes, init="torch"),
+            "cla": linear_init(next(keys), channels[-1], num_classes, init="torch"),
+        }
+    else:
+        params["fc_audioset"] = linear_init(
+            next(keys), channels[-1], num_classes, init="torch"
+        )
+    return params
+
+
+def cnn10_init(key: jax.Array, **kw: Any) -> Params:
+    return pann_init(key, CNN10_CHANNELS, **kw)
+
+
+def cnn14_init(key: jax.Array, **kw: Any) -> Params:
+    return pann_init(key, CNN14_CHANNELS, **kw)
+
+
+def cnn14_att_init(key: jax.Array, **kw: Any) -> Params:
+    return pann_init(key, CNN14_CHANNELS, att_head=True, **kw)
+
+
+# ------------------------------------------------------------------ forward
+def pann_apply(
+    params: Params,
+    waveform: jax.Array,
+    waveform_lens: jax.Array | None = None,
+    *,
+    logmel_cfg: LogMelConfig = PANN_LOGMEL,
+    waveform_input: bool = True,
+    deterministic: bool = True,
+    dropout_p: float = 0.2,
+    rng: jax.Array | None = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    """Cnn10/Cnn14 forward (architecture determined by the params pytree).
+    Output contract parity: ``nn/encoders/cnn14.py:27-216``."""
+    if waveform_input:
+        mel = logmel_spectrogram(waveform, logmel_cfg, compute_dtype=compute_dtype)
+        input_time_len = waveform.shape[-1]
+    else:
+        mel = waveform
+        input_time_len = waveform.shape[1]
+
+    if deterministic:
+        mel = batch_norm_inference(params["bn0"], mel, axis=-1)
+    else:
+        mel, _ = batch_norm_train(params["bn0"], mel, axis=-1)
+
+    x = mel[..., None].astype(compute_dtype)  # (B, T, F, 1)
+    rngs = (
+        jax.random.split(rng, len(params["blocks"]) + 2)
+        if rng is not None
+        else [None] * (len(params["blocks"]) + 2)
+    )
+    for i, block in enumerate(params["blocks"]):
+        x, _ = conv_block(block, x, deterministic=deterministic)
+        x = dropout(rngs[i], x, dropout_p, deterministic)
+
+    # (B, T', F', C) → mean over freq
+    frames = jnp.mean(x.astype(jnp.float32), axis=2)  # (B, T', C)
+
+    n_out = frames.shape[1]
+    reduction = max(input_time_len // max(n_out, 1), 1)
+    if waveform_lens is None:
+        lens = jnp.full((frames.shape[0],), n_out, jnp.int32)
+    else:
+        lens = jnp.round(waveform_lens.astype(jnp.float32) / reduction).astype(jnp.int32)
+
+    out: dict[str, Any] = {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),  # (B, C, T')
+        "frame_embs_lens": lens,
+    }
+
+    if "att" in params:
+        # Cnn14_DecisionLevelAtt head: x1 = max+mean over time is replaced by
+        # softmax attention over frames (AttBlock twin).
+        h = jax.nn.relu(linear(params["fc1"], frames))
+        att = jax.nn.softmax(
+            jnp.clip(linear(params["att"]["att"], h), -10.0, 10.0), axis=1
+        )  # (B, T', classes)
+        cla = jax.nn.sigmoid(linear(params["att"]["cla"], h))
+        clip = jnp.sum(att * cla, axis=1)
+        out["clipwise_output"] = clip
+        out["framewise_output"] = cla
+    else:
+        x1 = jnp.max(frames, axis=1)
+        x2 = jnp.mean(frames, axis=1)
+        h = x1 + x2
+        h = dropout(rngs[-2], h, 0.5, deterministic)
+        h = jax.nn.relu(linear(params["fc1"], h))
+        h = dropout(rngs[-1], h, 0.5, deterministic)
+        out["clipwise_output"] = jax.nn.sigmoid(linear(params["fc_audioset"], h))
+    return out
+
+
+def build_pann_model(name: str, key: jax.Array | None = None) -> tuple[Params, int]:
+    """(params, frame_emb_size) by registry name
+    (twin of ``nn/pann_utils/hub.py:14-56``)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    name_l = name.lower()
+    if name_l == "cnn10":
+        return cnn10_init(key), CNN10_CHANNELS[-1]
+    if name_l == "cnn14":
+        return cnn14_init(key), CNN14_CHANNELS[-1]
+    if name_l in ("cnn14_decisionlevelatt", "cnn14_att"):
+        return cnn14_att_init(key), CNN14_CHANNELS[-1]
+    raise ValueError(
+        f"Unknown PANN model {name!r}. "
+        "(expected Cnn10, Cnn14 or Cnn14_DecisionLevelAtt)"
+    )

@@ -1,0 +1,92 @@
+"""PANN encoder family tests: shapes, output contract, torch ConvBlock
+parity."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from conette_tpu.models.pann import (
+    build_pann_model,
+    cnn10_init,
+    cnn14_att_init,
+    conv_block,
+    conv_block_init,
+    pann_apply,
+)
+
+
+def test_conv_block_matches_torch():
+    params = conv_block_init(jax.random.PRNGKey(0), 3, 8)
+
+    conv1 = tnn.Conv2d(3, 8, 3, padding=1)
+    bn1 = tnn.BatchNorm2d(8)
+    conv2 = tnn.Conv2d(8, 8, 3, padding=1)
+    bn2 = tnn.BatchNorm2d(8)
+    with torch.no_grad():
+        conv1.weight.copy_(torch.from_numpy(np.asarray(params["conv1"]["weight"])).permute(3, 2, 0, 1))
+        conv1.bias.copy_(torch.from_numpy(np.asarray(params["conv1"]["bias"])))
+        conv2.weight.copy_(torch.from_numpy(np.asarray(params["conv2"]["weight"])).permute(3, 2, 0, 1))
+        conv2.bias.copy_(torch.from_numpy(np.asarray(params["conv2"]["bias"])))
+        rng = np.random.default_rng(0)
+        for bn, bp in [(bn1, "bn1"), (bn2, "bn2")]:
+            rm = rng.standard_normal(8).astype(np.float32) * 0.1
+            rv = rng.uniform(0.5, 2.0, 8).astype(np.float32)
+            bn.running_mean.copy_(torch.from_numpy(rm))
+            bn.running_var.copy_(torch.from_numpy(rv))
+            params[bp] = dict(params[bp], running_mean=jnp.asarray(rm), running_var=jnp.asarray(rv))
+    bn1.eval(); bn2.eval()
+
+    x = np.random.default_rng(1).standard_normal((2, 8, 6, 3)).astype(np.float32)
+    ours, _ = conv_block(params, jnp.asarray(x))
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        y = torch.relu(bn1(conv1(xt)))
+        y = torch.relu(bn2(conv2(y)))
+        y = torch.nn.functional.avg_pool2d(y, 2)
+        ref = y.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "name,feat", [("Cnn10", 512), ("Cnn14", 2048), ("Cnn14_DecisionLevelAtt", 2048)]
+)
+def test_output_contract(name, feat):
+    params, emb = build_pann_model(name)
+    assert emb == feat
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64_000)).astype(np.float32) * 0.1
+    )
+    lens = jnp.asarray([64_000, 32_000], jnp.int32)
+    outs = pann_apply(params, wav, lens)
+    assert outs["frame_embs"].shape[0] == 2
+    assert outs["frame_embs"].shape[1] == feat
+    assert outs["clipwise_output"].shape == (2, 527)
+    assert (np.asarray(outs["clipwise_output"]) >= 0).all()
+    assert (np.asarray(outs["clipwise_output"]) <= 1).all()
+    assert int(outs["frame_embs_lens"][1]) <= int(outs["frame_embs_lens"][0])
+    if "Att" in name:
+        assert "framewise_output" in outs
+
+
+def test_unknown_name_raises():
+    with pytest.raises(ValueError):
+        build_pann_model("ResNet9000")
+
+
+def test_cnn10_feeds_captioning_projection():
+    """PANN embeddings plug into the CoNeTTE stack via proj_in."""
+    from conette_tpu.models.conette import ConetteConfig, conette_init, encode_audio
+
+    params, feat = build_pann_model("Cnn10")
+    cfg = ConetteConfig(vocab_size=32, proj_in=feat, d_model=32, nhead=2,
+                        num_decoder_layers=1, dim_feedforward=64)
+    cparams = conette_init(jax.random.PRNGKey(0), cfg)
+    wav = jnp.asarray(np.random.default_rng(1).standard_normal((1, 32_000)).astype(np.float32))
+    outs = pann_apply(params, wav)
+    audio = jnp.swapaxes(outs["frame_embs"], 1, 2)
+    memory, mask = encode_audio(cparams, cfg, audio, outs["frame_embs_lens"])
+    assert memory.shape[-1] == 32
