@@ -94,6 +94,19 @@ class CoNeTTEPreprocessor:
             x = list(x)
 
         if isinstance(x, list) and len(x) > 0 and isinstance(x[0], str):
+            from conette_tpu.native import loader as native_loader
+
+            if native_loader.is_available():
+                # native C++ decode+mean+resample in one pass, GIL-released
+                # and thread-parallel (torchaudio-native path equivalent)
+                mono = native_loader.load_batch(list(x), TARGET_SR)
+                lens = np.asarray([len(m) for m in mono], np.int64)
+                max_len = int(lens.max())
+                pad_len = bucket_length(max_len) if self.use_buckets else max_len
+                batch = np.zeros((len(mono), pad_len), np.float32)
+                for i, m in enumerate(mono):
+                    batch[i, : len(m)] = m
+                return batch, lens
             loaded = [self._load(p) for p in x]
             waves = [w for w, _ in loaded]
             srs = [s for _, s in loaded]
