@@ -115,3 +115,20 @@ def get_optimizer(
             f"Unknown optimizer {optim_name!r}. (expected AdamW, Adam or SGD)"
         )
     return tx, tx.init(params)
+
+
+# ------------------------------------------------------------- EMA / SWA
+def ema_update(ema_params: Params, params: Params, decay: float = 0.999) -> Params:
+    """Exponential moving average of weights (twin of the reference's
+    optional EMA callback, ``train.py:167-280`` callback assembly)."""
+    return jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params
+    )
+
+
+def swa_update(swa_params: Params, params: Params, n_averaged: int) -> Params:
+    """Stochastic weight averaging step: running mean over snapshots
+    (twin of the reference's optional SWA callback)."""
+    return jax.tree.map(
+        lambda s, p: s + (p - s) / float(n_averaged + 1), swa_params, params
+    )

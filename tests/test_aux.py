@@ -1,0 +1,146 @@
+"""Aux subsystem tests: profiling, csum, run logger, disk cache, EMA/SWA,
+frontend factory, dcase export, distributed helpers."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestCsum:
+    def test_deterministic(self):
+        from conette_tpu.utils.csum import csum_any
+
+        v = {"a": [1, 2.5, "x"], "b": np.arange(4)}
+        assert csum_any(v) == csum_any({"b": np.arange(4), "a": [1, 2.5, "x"]})
+        assert csum_any(v) != csum_any({"a": [1, 2.5, "y"], "b": np.arange(4)})
+
+    def test_module_csum_changes_with_params(self):
+        from conette_tpu.utils.csum import csum_module
+
+        p1 = {"w": jnp.ones((3, 3))}
+        p2 = {"w": jnp.zeros((3, 3))}
+        assert csum_module(p1) != csum_module(p2)
+        assert csum_module(p1) == csum_module({"w": jnp.ones((3, 3))})
+
+
+class TestRunLogger:
+    def test_accumulate_and_flush(self, tmp_path):
+        from conette_tpu.utils.run_logger import RunLogger
+
+        lg = RunLogger(str(tmp_path))
+        lg.log_hyperparams({"lr": 5e-4})
+        lg.log_metrics({"train/loss": 1.5}, step=1)
+        lg.log_metrics({"train/loss": 1.2}, step=2)
+        lg.finalize()
+        assert os.path.isfile(tmp_path / "hparams.yaml")
+        assert os.path.isfile(tmp_path / "metrics.yaml")
+        assert os.path.isfile(tmp_path / "endfile.txt")
+        lines = open(tmp_path / "scalars.jsonl").read().strip().splitlines()
+        assert len(lines) == 2
+
+
+class TestDiskCache:
+    def test_caches_results(self, tmp_path):
+        from conette_tpu.utils.disk_cache import disk_cache
+
+        calls = []
+
+        def slow(x):
+            calls.append(x)
+            return x * 2
+
+        cached = disk_cache(slow, cache_dir=str(tmp_path))
+        assert cached(21) == 42
+        assert cached(21) == 42
+        assert calls == [21]
+
+
+class TestEmaSwa:
+    def test_ema_converges_to_params(self):
+        from conette_tpu.train.optim import ema_update
+
+        ema = {"w": jnp.zeros(3)}
+        params = {"w": jnp.ones(3)}
+        for _ in range(200):
+            ema = ema_update(ema, params, decay=0.9)
+        np.testing.assert_allclose(np.asarray(ema["w"]), 1.0, atol=1e-6)
+
+    def test_swa_is_running_mean(self):
+        from conette_tpu.train.optim import swa_update
+
+        swa = {"w": jnp.asarray(0.0)}
+        for n, v in enumerate([1.0, 2.0, 3.0]):
+            if n == 0:
+                swa = {"w": jnp.asarray(v)}
+            else:
+                swa = swa_update(swa, {"w": jnp.asarray(v)}, n)
+        np.testing.assert_allclose(float(swa["w"]), 2.0)
+
+
+class TestProfiling:
+    def test_flops_profile(self):
+        from conette_tpu.utils.profiling import flops_profile
+
+        out = flops_profile(
+            lambda a, b: a @ b, jnp.ones((64, 64)), jnp.ones((64, 64))
+        )
+        assert out.get("flops", 0) > 0
+
+    def test_time_tracker(self):
+        from conette_tpu.utils.profiling import TimeTracker
+
+        tt = TimeTracker()
+        with tt.track("fit"):
+            pass
+        assert "fit" in tt.durations
+        assert "fit" in tt.formatted()
+
+
+class TestFrontendFactory:
+    def test_spectrogram_frontend(self):
+        from conette_tpu.ops.frontends import get_frontend
+
+        fn, feat = get_frontend("resample_mean_spectrogram")
+        assert feat == 224
+        wav = np.random.default_rng(0).standard_normal((2, 44_100)).astype(np.float32)
+        out = fn(wav, 44_100)
+        assert out.shape[1] == 224
+
+    def test_unknown_frontend(self):
+        from conette_tpu.ops.frontends import get_frontend
+
+        with pytest.raises(ValueError):
+            get_frontend("nope")
+
+
+class TestDistributedHelpers:
+    def test_single_process(self):
+        from conette_tpu.parallel.distributed import (
+            gather_to_host0,
+            initialize,
+            is_main_process,
+            rank_tag,
+        )
+
+        initialize()  # no-op single process
+        assert is_main_process()
+        assert rank_tag() == "RANK0"
+        out = gather_to_host0(jnp.arange(4))
+        np.testing.assert_array_equal(out, np.arange(4))
+
+
+class TestDcase:
+    def test_submission_csv(self, tmp_path):
+        from conette_tpu.utils.dcase import export_to_dcase_task6a_csv
+
+        fpath = str(tmp_path / "sub.csv")
+        export_to_dcase_task6a_csv(fpath, ["a.wav"], ["a dog barks"])
+        import csv
+
+        rows = list(csv.DictReader(open(fpath)))
+        assert rows[0]["file_name"] == "a.wav"
+        assert rows[0]["caption_predicted"] == "a dog barks"
