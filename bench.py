@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-BATCH = 32
+BATCH = 128
 CLIP_SECONDS = 10
 SR = 32_000
 VOCAB = 4000
@@ -55,10 +55,15 @@ def bench_tpu() -> float:
     forbid = jnp.zeros((VOCAB,), bool).at[100:].set(True)
 
     @jax.jit
-    def pipeline(enc_params, model_params, waveform, lens, bos_ids):
+    def pipeline(enc_params, model_params, waveform, jitter, lens, bos_ids):
+        # per-iteration on-device jitter forces a distinct computation each
+        # dispatch (remote relays may memoize identical calls) without
+        # re-uploading inputs
+        waveform = waveform + jitter * 1e-6
         outs = convnext_apply(enc_params, waveform, lens, compute_dtype=jnp.bfloat16)
         audio = jnp.swapaxes(outs["frame_embs"], 1, 2)
         memory, pad_mask = encode_audio(model_params, cfg, audio, outs["frame_embs_lens"])
+        memory = memory.astype(jnp.bfloat16)  # bf16 KV cache / decode memory
         res = forward_generate(
             model_params, cfg, memory, pad_mask, bos_ids, forbid_rep_mask=forbid
         )
@@ -69,15 +74,20 @@ def bench_tpu() -> float:
     lens = jnp.full((BATCH,), CLIP_SECONDS * SR, jnp.int32)
     bos_ids = jnp.full((BATCH,), 4, jnp.int32)
 
-    # warmup/compile
-    out = pipeline(enc_params, model_params, waveform, lens, bos_ids)
-    jax.block_until_ready(out)
+    # warmup/compile — fetch to host to force completion (block_until_ready
+    # is unreliable over tunneled PJRT backends)
+    _ = np.asarray(
+        pipeline(enc_params, model_params, waveform, jnp.float32(0), lens, bos_ids)[0]
+    )
 
     iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(enc_params, model_params, waveform, lens, bos_ids)
-    jax.block_until_ready(out)
+    outs = [
+        pipeline(enc_params, model_params, waveform, jnp.float32(i + 1), lens, bos_ids)
+        for i in range(iters)
+    ]
+    for preds, lprobs in outs:
+        np.asarray(preds)  # force completion + host fetch of the token ids
     dt = time.perf_counter() - t0
     return BATCH * iters / dt
 
