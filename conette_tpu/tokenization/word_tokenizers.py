@@ -21,6 +21,7 @@ preserving the reference id assignment order
 from __future__ import annotations
 
 import logging
+import os
 import re
 from collections import Counter
 from typing import Any, Callable, Iterable
@@ -271,6 +272,59 @@ def word_tokenizer_factory(
         )
     if backend == "python":
         return PythonWordTokenizer(**kwargs)
+    if backend == "ptb":
+        return PTBWordTokenizer(**kwargs)
     raise ValueError(
-        f"Invalid {backend=}. (expected one of 'auto', 'spacy', 'regex', 'python')"
+        f"Invalid {backend=}. "
+        "(expected one of 'auto', 'spacy', 'regex', 'python', 'ptb')"
     )
+
+
+class PTBWordTokenizer(StrTokenizer):
+    """Stanford PTB tokenizer via the coco-caption Java jar — the reference's
+    *test/metric* tokenizer (``tokenizers/ptb.py:14-51``). Gated on java +
+    the jar (``CONETTE_PTB_JAR`` or the shared metrics cache); callers fall
+    back to the regex backend when unavailable."""
+
+    def __init__(self, special_tokens: Iterable[str] = SPECIAL_TOKENS) -> None:
+        super().__init__()
+        import shutil
+
+        self._special_tokens = list(special_tokens)
+        jar = os.environ.get("CONETTE_PTB_JAR") or os.path.expanduser(
+            "~/.cache/conette_tpu/aac-metrics/stanford-corenlp-3.4.1.jar"
+        )
+        if shutil.which("java") is None or not os.path.isfile(jar):
+            raise RuntimeError(
+                "PTB tokenizer requires java + stanford-corenlp jar "
+                "(set CONETTE_PTB_JAR)."
+            )
+        self._jar = jar
+
+    @property
+    def special_tokens(self) -> list[str]:
+        return list(self._special_tokens)
+
+    def get_backend(self) -> str:
+        return "ptb"
+
+    def tokenize_batch(self, sentences: Iterable[str]) -> list[list[str]]:
+        import subprocess
+        import tempfile
+
+        sentences = list(sentences)
+        with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+            f.write("\n".join(s.replace("\n", " ") for s in sentences))
+            tmp = f.name
+        try:
+            out = subprocess.run(
+                [
+                    "java", "-cp", self._jar,
+                    "edu.stanford.nlp.process.PTBTokenizer",
+                    "-preserveLines", "-lowerCase", tmp,
+                ],
+                capture_output=True, text=True, check=True,
+            ).stdout
+        finally:
+            os.unlink(tmp)
+        return [line.split() for line in out.splitlines()]

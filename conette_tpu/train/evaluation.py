@@ -29,6 +29,32 @@ from conette_tpu.utils.dcase import export_outputs_csv, export_to_dcase_task6a_c
 pylog = logging.getLogger(__name__)
 
 
+def make_metric_tokenizer():
+    """Metric-time tokenizer (twin of the reference's PTB test tokenizer,
+    ``tokenizers/ptb.py:14-51``): prefers the Java PTB backend when its jar
+    is available, else the normalizing regex backend — both lowercase,
+    strip punctuation and split contractions the PTB way on caption text."""
+    from conette_tpu.tokenization.word_tokenizers import (
+        RegexWordTokenizer,
+        word_tokenizer_factory,
+    )
+    from conette_tpu.tokenization.normalizers import get_pre_encoding_normalizers
+
+    try:
+        wt = word_tokenizer_factory(backend="ptb")
+    except Exception:
+        wt = RegexWordTokenizer()
+    normalizers = get_pre_encoding_normalizers(lowercase=True, punctuation_mode="remove")
+
+    def tokenize(sentences):
+        out = list(sentences)
+        for n in normalizers:
+            out = n.normalize_batch(out)
+        return wt.tokenize_batch(out)
+
+    return tokenize
+
+
 class Validator:
     def __init__(self, monitors: Sequence[str] = ("val/cider_d",)) -> None:
         self.monitors = list(monitors)

@@ -54,10 +54,18 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     run_dir = os.path.join(cfg.get("log_root", "logs"), run_name)
     os.makedirs(run_dir, exist_ok=True)
 
+    from conette_tpu.utils.misc import get_current_git_hash, reset_seed, save_code_to_zip
     from conette_tpu.utils.run_logger import RunLogger
 
+    reset_seed(seed)
     logger = RunLogger(run_dir)
-    logger.log_hyperparams({"cfg": dict(cfg), "seed": seed})
+    logger.log_hyperparams(
+        {"cfg": dict(cfg), "seed": seed, "git_hash": get_current_git_hash()}
+    )
+    try:
+        save_code_to_zip(os.path.join(run_dir, "code.zip"))
+    except Exception as err:
+        pylog.warning(f"code snapshot failed: {err}")
     t_start = time.time()
 
     # ----------------------------------------------- 2/6 tokenizer + tfms
@@ -173,10 +181,13 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         sched_name=pl_cfg.get("sched_name", "cos_decay"),
         sched_n_steps=max_epochs,
     )
-    state = init_train_state(params, tx)
-
     # ------------------------------------------------------------ 4/6 fit
     import optax
+
+    grad_clip = tr_cfg.get("grad_clip_norm")
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
+    state = init_train_state(params, tx)
 
     from conette_tpu.train.objective import training_loss, validation_loss
 
@@ -199,7 +210,12 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         lambda p, batch: validation_loss(p, model_cfg, batch)
     )
 
-    gen_fn = _make_gen_fn(model_cfg)
+    gen_val = pl_cfg.get("gen_val_cands", "generate")
+    gen_test = pl_cfg.get("gen_test_cands", "generate")
+    gen_fn = _make_gen_fn(model_cfg, method=gen_val)
+    gen_fn_test = (
+        gen_fn if gen_test == gen_val else _make_gen_fn(model_cfg, method=gen_test)
+    )
     forbid_np = build_forbid_rep_mask(tokenizer, "content_words")
     forbid = jnp.asarray(forbid_np)
 
@@ -307,11 +323,15 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             best_params = load_checkpoint(ckpt.best_dir)["params"]
             pylog.info(f"Testing with best checkpoint {ckpt.best_dir}")
         from conette_tpu.metrics import AllMetrics
+        from conette_tpu.train.evaluation import make_metric_tokenizer
 
         evaluator = Evaluator(
             run_dir,
             model_name="best",
-            metrics=AllMetrics(train_vocab=list(tokenizer.get_vocab())),
+            metrics=AllMetrics(
+                tokenizer=make_metric_tokenizer(),
+                train_vocab=list(tokenizer.get_vocab()),
+            ),
         )
         for dl_idx in range(dm.num_eval_loaders("test")):
             for j, b in enumerate(dm.eval_batches("test", dl_idx)):
@@ -320,7 +340,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
                 audio = jnp.asarray(b["audio"])
                 lens = jnp.asarray(b["audio_lens"])
                 bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-                preds, lprobs = gen_fn(best_params, audio, lens, bos, forbid)
+                preds, lprobs = gen_fn_test(best_params, audio, lens, bos, forbid)
                 cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
                 evaluator.add_batch(
                     cands,
@@ -358,14 +378,30 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     return {"run_dir": run_dir, "best": ckpt.best_score, "test": test_scores}
 
 
-def _make_gen_fn(model_cfg):
+def _make_gen_fn(model_cfg, method: str = "generate"):
     import jax
+    import jax.numpy as jnp
 
-    from conette_tpu.models.conette import encode_audio, forward_generate
+    from conette_tpu.models.conette import (
+        encode_audio,
+        forward_generate,
+        forward_greedy,
+    )
 
     @jax.jit
     def gen(params, audio, lens, bos, forbid):
         memory, pad_mask = encode_audio(params, model_cfg, audio, lens)
+        if method == "greedy":
+            g = forward_greedy(
+                params, model_cfg, memory, pad_mask, bos, forbid_rep_mask=forbid
+            )
+            lp = jax.nn.log_softmax(jnp.transpose(g.logits, (0, 2, 1)), axis=-1)
+            sel = jnp.take_along_axis(lp, g.preds[..., None], axis=-1)[..., 0]
+            valid = g.preds != model_cfg.pad_id
+            avg = jnp.sum(jnp.where(valid, sel, 0.0), axis=1) / jnp.maximum(
+                valid.sum(axis=1), 1
+            )
+            return g.preds, avg
         res = forward_generate(
             params, model_cfg, memory, pad_mask, bos, forbid_rep_mask=forbid
         )
