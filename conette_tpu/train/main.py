@@ -189,6 +189,10 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
     state = init_train_state(params, tx)
 
+    # optional EMA of weights (reference's optional EMA callback twin)
+    ema_decay = tr_cfg.get("ema_decay")
+    ema_params = params if ema_decay else None
+
     from conette_tpu.train.objective import training_loss, validation_loss
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
@@ -264,6 +268,10 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
                 break
             state, metrics = train_step(state, to_train_batch(b, global_step), rng)
             global_step += 1
+            if ema_decay:
+                from conette_tpu.train.optim import ema_update
+
+                ema_params = ema_update(ema_params, state.params, float(ema_decay))
             if i == 0:
                 logger.log_metrics(
                     {k: float(v) for k, v in metrics.items()}
@@ -300,7 +308,8 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             val_metrics["val/loss"] = float(np.mean(val_losses)) if val_losses else 0.0
             logger.log_metrics(val_metrics | {"epoch": epoch}, step=global_step)
             ckpt.step(
-                epoch, val_metrics, state.params,
+                epoch, val_metrics,
+                ema_params if ema_decay else state.params,
                 tokenizer=tokenizer,
                 extra_meta={
                     "global_step": global_step,
