@@ -209,6 +209,36 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             {"train/loss": loss, "train/grad_norm": optax.global_norm(grads)},
         )
 
+    # Data-parallel over the local mesh when >1 device (the reference's DDP
+    # twin: XLA inserts the gradient all-reduce over the `data` axis).
+    dp_cfg = tr_cfg.get("data_parallel", "auto")
+    n_dev = jax.local_device_count()
+    use_mesh = (dp_cfg == "auto" and n_dev > 1) or (
+        isinstance(dp_cfg, int) and dp_cfg > 1
+    )
+    if use_mesh and dm.bsize % n_dev != 0:
+        pylog.warning(
+            f"batch size {dm.bsize} not divisible by {n_dev} devices; "
+            "running single-device"
+        )
+        use_mesh = False
+    if use_mesh:
+        from conette_tpu.parallel.mesh import make_mesh, replicated, batch_sharding
+
+        n_dp = n_dev if dp_cfg == "auto" else int(dp_cfg)
+        mesh = make_mesh(n_dp, model_parallel=int(tr_cfg.get("model_parallel", 1)))
+        mesh.__enter__()
+        repl = replicated(mesh)
+        state = jax.device_put(state, repl)
+        bsh = batch_sharding(mesh)
+
+        def shard_train_batch(b: dict) -> dict:
+            return {k: jax.device_put(v, bsh) for k, v in b.items()}
+
+        pylog.info(f"Training data-parallel over {n_dp} devices")
+    else:
+        shard_train_batch = lambda b: b  # noqa: E731
+
     train_step = jax.jit(train_step, donate_argnums=(0,))
     val_loss_fn = jax.jit(
         lambda p, batch: validation_loss(p, model_cfg, batch)
@@ -266,7 +296,9 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         for i, b in enumerate(dm.train_batches(epoch)):
             if lim_train is not None and i >= lim_train:
                 break
-            state, metrics = train_step(state, to_train_batch(b, global_step), rng)
+            state, metrics = train_step(
+                state, shard_train_batch(to_train_batch(b, global_step)), rng
+            )
             global_step += 1
             if ema_decay:
                 from conette_tpu.train.optim import ema_update
