@@ -182,9 +182,19 @@ def beam_search(
             None,
         )
 
-    state, _ = jax.lax.scan(
-        body, state, jnp.arange(max_pred_size, dtype=jnp.int32)
-    )
+    # while_loop with an all-finished early exit (the reference breaks out of
+    # its Python loop when every beam has retired, beam.py:192-194; the
+    # average real caption ends well before max_pred_size)
+    def cond(carry):
+        step, state = carry
+        return (step < max_pred_size) & jnp.any(state.alive)
+
+    def loop_body(carry):
+        step, state = carry
+        state, _ = body(state, step)
+        return step + 1, state
+
+    _, state = jax.lax.while_loop(cond, loop_body, (jnp.int32(0), state))
 
     best_beam = jnp.argmax(state.fin_avg, axis=1)  # first max on ties
     best_preds = jnp.take_along_axis(

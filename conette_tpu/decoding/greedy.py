@@ -93,12 +93,29 @@ def greedy_search(
         new_mh = mh | jax.nn.one_hot(out_tok, vocab, dtype=bool)
         return (cache, out_tok, new_finished, new_mh), (out_tok, out_logits)
 
+    # while_loop with early exit when every row has emitted EOS (the
+    # reference breaks out of its Python loop then, greedy.py:122-124)
+    toks0 = jnp.full((b, max_pred_size), cfg.pad_id, jnp.int32)
+    logits0 = jnp.broadcast_to(
+        pad_row[None, :, None], (b, vocab, max_pred_size)
+    )
+
+    def cond(carry):
+        step, state, _, _ = carry
+        _, _, finished, _ = state
+        return (step < max_pred_size) & ~jnp.all(finished)
+
+    def loop_body(carry):
+        step, state, toks, logits_out = carry
+        state, (out_tok, out_logits) = body(state, step)
+        toks = jax.lax.dynamic_update_slice(toks, out_tok[:, None], (0, step))
+        logits_out = jax.lax.dynamic_update_slice(
+            logits_out, out_logits[:, :, None], (0, 0, step)
+        )
+        return step + 1, state, toks, logits_out
+
     init = (cache, bos_ids.astype(jnp.int32), jnp.zeros((b,), bool), mh0)
-    _, (toks, logits) = jax.lax.scan(
-        body, init, jnp.arange(max_pred_size, dtype=jnp.int32)
+    _, _, toks, logits = jax.lax.while_loop(
+        cond, loop_body, (jnp.int32(0), init, toks0, logits0)
     )
-    # scan stacks on axis 0 → (L, B, ...) → (B, L) / (B, vocab, L)
-    return GreedyResult(
-        preds=jnp.swapaxes(toks, 0, 1),
-        logits=jnp.transpose(logits, (1, 2, 0)),
-    )
+    return GreedyResult(preds=toks, logits=logits)

@@ -220,7 +220,15 @@ def build_pann_model(name: str, key: jax.Array | None = None) -> tuple[Params, i
         return cnn14_init(key), CNN14_CHANNELS[-1]
     if name_l in ("cnn14_decisionlevelatt", "cnn14_att"):
         return cnn14_att_init(key), CNN14_CHANNELS[-1]
+    if name_l == "resnet22":
+        from conette_tpu.models.pann_zoo import resnet22_init
+
+        return resnet22_init(key), 2048
+    if name_l == "mobilenetv1":
+        from conette_tpu.models.pann_zoo import mobilenetv1_init
+
+        return mobilenetv1_init(key), 1024
     raise ValueError(
-        f"Unknown PANN model {name!r}. "
-        "(expected Cnn10, Cnn14 or Cnn14_DecisionLevelAtt)"
+        f"Unknown PANN model {name!r}. (expected Cnn10, Cnn14, "
+        "Cnn14_DecisionLevelAtt, ResNet22 or MobileNetV1)"
     )

@@ -1,0 +1,205 @@
+"""Extended PANN zoo: ResNet22 and MobileNetV1 encoders (NHWC JAX).
+
+Capability twins of the reference's vendored PANN zoo members
+(``src/conette/nn/pann_utils/models.py:736-1088`` ResNet22 with
+pre-avgpool-strided basic blocks and zero-init residual BN;
+``models.py:1663-1805`` MobileNetV1 with avg-pool-strided depthwise
+separable convs). Both share the 64-mel frontend + bn0 and the clip-head
+contract of the Cnn familie(s); frame embeddings are the frequency-mean
+of the last feature map (same contract as models/pann.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from conette_tpu.models.layers import (
+    Params,
+    batch_norm_inference,
+    batch_norm_init,
+    batch_norm_train,
+    conv2d,
+    conv2d_init,
+    linear,
+    linear_init,
+)
+from conette_tpu.models.pann import PANN_LOGMEL, conv_block, conv_block_init
+from conette_tpu.ops.frontend import LogMelConfig, logmel_spectrogram
+
+NUM_CLASSES = 527
+
+
+def _avg_pool(x: jax.Array, k: int = 2) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
+    ) / (k * k)
+
+
+def _bn(params: Params, x: jax.Array, deterministic: bool) -> jax.Array:
+    if deterministic:
+        return batch_norm_inference(params, x, axis=-1)
+    out, _ = batch_norm_train(params, x, axis=-1)
+    return out
+
+
+# ------------------------------------------------------------------ ResNet22
+def _basic_block_init(key: jax.Array, inplanes: int, planes: int, stride: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    p: Params = {
+        "conv1": conv2d_init(k1, inplanes, planes, (3, 3), init="torch"),
+        "bn1": batch_norm_init(planes),
+        "conv2": conv2d_init(k2, planes, planes, (3, 3), init="torch"),
+        # zero-init residual BN weight (models.py:778)
+        "bn2": dict(batch_norm_init(planes), weight=jnp.zeros((planes,), jnp.float32)),
+        "stride": stride,
+    }
+    if stride != 1 or inplanes != planes:
+        p["downsample"] = {
+            "conv": conv2d_init(k3, inplanes, planes, (1, 1), init="torch"),
+            "bn": batch_norm_init(planes),
+        }
+    return p
+
+
+def _basic_block(p: Params, x: jax.Array, deterministic: bool) -> jax.Array:
+    identity = x
+    out = _avg_pool(x) if p["stride"] == 2 else x
+    out = conv2d(p["conv1"], out, padding=((1, 1), (1, 1)))
+    out = jax.nn.relu(_bn(p["bn1"], out, deterministic))
+    out = conv2d(p["conv2"], out, padding=((1, 1), (1, 1)))
+    out = _bn(p["bn2"], out, deterministic)
+    if "downsample" in p:
+        if p["stride"] == 2:
+            identity = _avg_pool(identity)
+        identity = _bn(
+            p["downsample"]["bn"],
+            conv2d(p["downsample"]["conv"], identity),
+            deterministic,
+        )
+    return jax.nn.relu(out + identity)
+
+
+def resnet22_init(key: jax.Array, num_classes: int = NUM_CLASSES, n_mels: int = 64) -> Params:
+    keys = iter(jax.random.split(key, 16))
+    params: Params = {
+        "bn0": batch_norm_init(n_mels),
+        "conv_block1": conv_block_init(next(keys), 1, 64),
+        "layers": [],
+        "conv_block_after1": conv_block_init(next(keys), 512, 2048),
+        "fc1": linear_init(next(keys), 2048, 2048, init="torch"),
+        "fc_audioset": linear_init(next(keys), 2048, num_classes, init="torch"),
+    }
+    inplanes = 64
+    for planes, blocks, stride in [(64, 2, 1), (128, 2, 2), (256, 2, 2), (512, 2, 2)]:
+        stage = [_basic_block_init(next(keys), inplanes, planes, stride)]
+        inplanes = planes
+        for _ in range(1, blocks):
+            stage.append(_basic_block_init(next(keys), inplanes, planes, 1))
+        params["layers"].append(stage)
+    return params
+
+
+# --------------------------------------------------------------- MobileNetV1
+def mobilenetv1_init(key: jax.Array, num_classes: int = NUM_CLASSES, n_mels: int = 64) -> Params:
+    spec = [  # (type, in, out, pool_stride) — models.py:1745-1760
+        ("bn", 1, 32, 2),
+        ("dw", 32, 64, 1), ("dw", 64, 128, 2), ("dw", 128, 128, 1),
+        ("dw", 128, 256, 2), ("dw", 256, 256, 1), ("dw", 256, 512, 2),
+        ("dw", 512, 512, 1), ("dw", 512, 512, 1), ("dw", 512, 512, 1),
+        ("dw", 512, 512, 1), ("dw", 512, 512, 1), ("dw", 512, 1024, 2),
+        ("dw", 1024, 1024, 1),
+    ]
+    keys = iter(jax.random.split(key, len(spec) * 2 + 4))
+    params: Params = {"bn0": batch_norm_init(n_mels), "features": []}
+    for kind, inp, oup, stride in spec:
+        if kind == "bn":
+            params["features"].append(
+                {
+                    "kind": "bn",
+                    "stride": stride,
+                    "conv": conv2d_init(next(keys), inp, oup, (3, 3), init="torch"),
+                    "bn": batch_norm_init(oup),
+                }
+            )
+        else:
+            params["features"].append(
+                {
+                    "kind": "dw",
+                    "stride": stride,
+                    "dwconv": conv2d_init(next(keys), inp, inp, (3, 3), groups=inp, init="torch"),
+                    "bn1": batch_norm_init(inp),
+                    "pwconv": conv2d_init(next(keys), inp, oup, (1, 1), init="torch"),
+                    "bn2": batch_norm_init(oup),
+                }
+            )
+    params["fc1"] = linear_init(next(keys), 1024, 1024, init="torch")
+    params["fc_audioset"] = linear_init(next(keys), 1024, num_classes, init="torch")
+    return params
+
+
+# ------------------------------------------------------------------- forward
+def pann_zoo_apply(
+    params: Params,
+    waveform: jax.Array,
+    waveform_lens: jax.Array | None = None,
+    *,
+    arch: str,
+    logmel_cfg: LogMelConfig = PANN_LOGMEL,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    mel = logmel_spectrogram(waveform, logmel_cfg, compute_dtype=compute_dtype)
+    input_time_len = waveform.shape[-1]
+    mel = _bn(params["bn0"], mel, deterministic)
+    x = mel[..., None].astype(compute_dtype)
+
+    if arch == "resnet22":
+        x, _ = conv_block(params["conv_block1"], x, deterministic=deterministic)
+        for stage in params["layers"]:
+            for block in stage:
+                x = _basic_block(block, x, deterministic)
+        x = _avg_pool(x)
+        x, _ = conv_block(
+            params["conv_block_after1"], x, pool_size=(1, 1),
+            deterministic=deterministic,
+        )
+        feat = 2048
+    elif arch == "mobilenetv1":
+        for layer in params["features"]:
+            if layer["kind"] == "bn":
+                x = conv2d(layer["conv"], x, padding=((1, 1), (1, 1)))
+                if layer["stride"] > 1:
+                    x = _avg_pool(x, layer["stride"])
+                x = jax.nn.relu(_bn(layer["bn"], x, deterministic))
+            else:
+                inp = x.shape[-1]
+                x = conv2d(layer["dwconv"], x, padding=((1, 1), (1, 1)), groups=inp)
+                if layer["stride"] > 1:
+                    x = _avg_pool(x, layer["stride"])
+                x = jax.nn.relu(_bn(layer["bn1"], x, deterministic))
+                x = conv2d(layer["pwconv"], x)
+                x = jax.nn.relu(_bn(layer["bn2"], x, deterministic))
+        feat = 1024
+    else:
+        raise ValueError(f"Unknown arch {arch!r}")
+
+    frames = jnp.mean(x.astype(jnp.float32), axis=2)  # (B, T', C)
+    n_out = frames.shape[1]
+    reduction = max(input_time_len // max(n_out, 1), 1)
+    if waveform_lens is None:
+        lens = jnp.full((frames.shape[0],), n_out, jnp.int32)
+    else:
+        lens = jnp.round(waveform_lens.astype(jnp.float32) / reduction).astype(jnp.int32)
+
+    h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+    h = jax.nn.relu(linear(params["fc1"], h))
+    clip = jax.nn.sigmoid(linear(params["fc_audioset"], h))
+    return {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),
+        "frame_embs_lens": lens,
+        "clipwise_output": clip,
+        "embedding": h,
+    }

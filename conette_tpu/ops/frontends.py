@@ -99,8 +99,29 @@ def get_frontend(
 
         return fn, cfg.n_mels
 
+    if name == "resample_mean_gammatonegram":
+        from conette_tpu.ops.gammatone import gammatone_filterbank
+        from conette_tpu.ops.stft import power_spectrogram
+
+        n_filters = 64
+        fb = jnp.asarray(
+            gammatone_filterbank(TARGET_SR, DEFAULT_LOGMEL.n_fft, n_filters)
+        )
+
+        def gfn(waveform: np.ndarray, sr: int) -> np.ndarray:
+            mono = _resample_mean(waveform, sr)
+            power = power_spectrogram(
+                jnp.asarray(mono[None]), DEFAULT_LOGMEL.n_fft, DEFAULT_LOGMEL.hop_length
+            )
+            gt = jnp.einsum("btf,fm->btm", power, fb)
+            out = 10.0 * jnp.log10(jnp.maximum(1e-10, gt))
+            return np.asarray(out)[0].astype(np.float32)
+
+        return gfn, n_filters
+
     raise ValueError(
         f"Unknown frontend {name!r}. (expected one of "
         "('resample_mean_convnext', 'resample_mean_cnn10', 'resample_mean_cnn14',"
-        " 'resample_mean_cnn14_att', 'resample_mean_spectrogram'))"
+        " 'resample_mean_cnn14_att', 'resample_mean_spectrogram',"
+        " 'resample_mean_gammatonegram'))"
     )

@@ -90,3 +90,21 @@ def test_cnn10_feeds_captioning_projection():
     audio = jnp.swapaxes(outs["frame_embs"], 1, 2)
     memory, mask = encode_audio(cparams, cfg, audio, outs["frame_embs_lens"])
     assert memory.shape[-1] == 32
+
+
+@pytest.mark.parametrize("name,feat", [("ResNet22", 2048), ("MobileNetV1", 1024)])
+def test_zoo_members_output_contract(name, feat):
+    from conette_tpu.models.pann_zoo import pann_zoo_apply
+
+    params, emb = build_pann_model(name)
+    assert emb == feat
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 64_000)).astype(np.float32) * 0.1
+    )
+    outs = pann_zoo_apply(
+        params, wav, jnp.asarray([64_000], jnp.int32), arch=name.lower()
+    )
+    assert outs["frame_embs"].shape[1] == feat
+    assert outs["clipwise_output"].shape == (1, 527)
+    probs = np.asarray(outs["clipwise_output"])
+    assert (probs >= 0).all() and (probs <= 1).all()
