@@ -228,7 +228,16 @@ def build_pann_model(name: str, key: jax.Array | None = None) -> tuple[Params, i
         from conette_tpu.models.pann_zoo import mobilenetv1_init
 
         return mobilenetv1_init(key), 1024
+    if name_l == "cnn6":
+        from conette_tpu.models.pann_zoo import cnn6_init
+
+        return cnn6_init(key), 512
+    if name_l == "wavegram_logmel_cnn14":
+        from conette_tpu.models.pann_zoo import wavegram_logmel_cnn14_init
+
+        return wavegram_logmel_cnn14_init(key), 2048
     raise ValueError(
         f"Unknown PANN model {name!r}. (expected Cnn10, Cnn14, "
-        "Cnn14_DecisionLevelAtt, ResNet22 or MobileNetV1)"
+        "Cnn14_DecisionLevelAtt, Cnn6, ResNet22, MobileNetV1 or "
+        "Wavegram_Logmel_Cnn14)"
     )

@@ -203,3 +203,191 @@ def pann_zoo_apply(
         "clipwise_output": clip,
         "embedding": h,
     }
+
+
+# ----------------------------------------------------------------- Cnn6
+def conv_block5x5_init(key: jax.Array, in_ch: int, out_ch: int) -> Params:
+    """PANN ``ConvBlock5x5``: ONE 5×5 conv + BN (models.py:83-120)."""
+    return {
+        "conv1": conv2d_init(key, in_ch, out_ch, (5, 5), init="torch"),
+        "bn1": batch_norm_init(out_ch),
+    }
+
+
+def conv_block5x5(p: Params, x: jax.Array, deterministic: bool) -> jax.Array:
+    y = conv2d(p["conv1"], x, padding=((2, 2), (2, 2)))
+    y = jax.nn.relu(_bn(p["bn1"], y, deterministic))
+    return _avg_pool(y)
+
+
+def cnn6_init(key: jax.Array, num_classes: int = NUM_CLASSES, n_mels: int = 64) -> Params:
+    keys = iter(jax.random.split(key, 8))
+    channels = [(1, 64), (64, 128), (128, 256), (256, 512)]
+    return {
+        "bn0": batch_norm_init(n_mels),
+        "blocks": [conv_block5x5_init(next(keys), i, o) for i, o in channels],
+        "fc1": linear_init(next(keys), 512, 512, init="torch"),
+        "fc_audioset": linear_init(next(keys), 512, num_classes, init="torch"),
+    }
+
+
+# ---------------------------------------------------- Wavegram_Logmel_Cnn14
+def _conv1d_init(key: jax.Array, in_ch: int, out_ch: int, k: int) -> Params:
+    import math as _math
+
+    fan_in = in_ch * k
+    bound = 1.0 / _math.sqrt(fan_in)
+    w = jax.random.uniform(key, (k, in_ch, out_ch), jnp.float32, -bound, bound)
+    return {"weight": w}
+
+
+def _conv1d(p: Params, x: jax.Array, stride: int = 1, padding: int = 0,
+            dilation: int = 1) -> jax.Array:
+    """NWC conv1d with WIO kernel, no bias (PANN wavegram convs are
+    bias-free)."""
+    return jax.lax.conv_general_dilated(
+        x, p["weight"].astype(x.dtype), (stride,), [(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _max_pool1d(x: jax.Array, k: int) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, 1), (1, k, 1), "VALID"
+    )
+
+
+def _pre_wav_block_init(key: jax.Array, in_ch: int, out_ch: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": _conv1d_init(k1, in_ch, out_ch, 3),
+        "bn1": batch_norm_init(out_ch),
+        "conv2": _conv1d_init(k2, out_ch, out_ch, 3),
+        "bn2": batch_norm_init(out_ch),
+    }
+
+
+def _pre_wav_block(p: Params, x: jax.Array, pool: int, deterministic: bool) -> jax.Array:
+    """ConvPreWavBlock twin (models.py:2700-2740): conv1d k3 → BN → ReLU →
+    dilated conv1d k3 d2 → BN → ReLU → maxpool."""
+    y = jax.nn.relu(_bn(p["bn1"], _conv1d(p["conv1"], x, padding=1), deterministic))
+    y = jax.nn.relu(
+        _bn(p["bn2"], _conv1d(p["conv2"], y, padding=2, dilation=2), deterministic)
+    )
+    return _max_pool1d(y, pool)
+
+
+def wavegram_logmel_cnn14_init(
+    key: jax.Array, num_classes: int = NUM_CLASSES, n_mels: int = 64
+) -> Params:
+    keys = iter(jax.random.split(key, 16))
+    channels = [(1, 64), (128, 128), (128, 256), (256, 512), (512, 1024), (1024, 2048)]
+    return {
+        "pre_conv0": _conv1d_init(next(keys), 1, 64, 11),
+        "pre_bn0": batch_norm_init(64),
+        "pre_block1": _pre_wav_block_init(next(keys), 64, 64),
+        "pre_block2": _pre_wav_block_init(next(keys), 64, 128),
+        "pre_block3": _pre_wav_block_init(next(keys), 128, 128),
+        "pre_block4": conv_block_init(next(keys), 4, 64),
+        "bn0": batch_norm_init(n_mels),
+        "blocks": [conv_block_init(next(keys), i, o) for i, o in channels],
+        "fc1": linear_init(next(keys), 2048, 2048, init="torch"),
+        "fc_audioset": linear_init(next(keys), 2048, num_classes, init="torch"),
+    }
+
+
+def wavegram_logmel_cnn14_apply(
+    params: Params,
+    waveform: jax.Array,
+    waveform_lens: jax.Array | None = None,
+    *,
+    logmel_cfg: LogMelConfig = PANN_LOGMEL,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    """Wavegram + log-mel dual-branch Cnn14 (models.py:2842-2990): the raw
+    waveform passes a strided conv1d front (stride 5 · 3×pool4 = /320,
+    aligning with the hop-320 spectrogram frames), reshapes into a
+    (T, 32)-"frequency" map, and concatenates with the log-mel branch after
+    its first conv block."""
+    b = waveform.shape[0]
+    # --- wavegram branch (NWC)
+    a = waveform[:, :, None].astype(compute_dtype)
+    a = jax.nn.relu(
+        _bn(params["pre_bn0"], _conv1d(params["pre_conv0"], a, stride=5, padding=5),
+            deterministic)
+    )
+    a = _pre_wav_block(params["pre_block1"], a, 4, deterministic)
+    a = _pre_wav_block(params["pre_block2"], a, 4, deterministic)
+    a = _pre_wav_block(params["pre_block3"], a, 4, deterministic)
+    # (B, T, 128) → (B, T, 32, 4) NHWC: 128 channels → 4 groups × 32 "freqs"
+    t = a.shape[1]
+    a = a.reshape(b, t, 4, 32).transpose(0, 1, 3, 2)  # (B, T, 32, 4)
+    a, _ = conv_block(params["pre_block4"], a, pool_size=(2, 1),
+                      deterministic=deterministic)  # (B, T/2, 32, 64)
+
+    # --- log-mel branch
+    mel = logmel_spectrogram(waveform, logmel_cfg, compute_dtype=compute_dtype)
+    mel = _bn(params["bn0"], mel, deterministic)
+    x = mel[..., None].astype(compute_dtype)
+    x, _ = conv_block(params["blocks"][0], x, deterministic=deterministic)
+
+    # align time lengths then concat channels
+    t_min = min(x.shape[1], a.shape[1])
+    x = jnp.concatenate([x[:, :t_min], a[:, :t_min]], axis=-1)  # (B,T,32,128)
+
+    for block in params["blocks"][1:-1]:
+        x, _ = conv_block(block, x, deterministic=deterministic)
+    x, _ = conv_block(params["blocks"][-1], x, pool_size=(1, 1),
+                      deterministic=deterministic)
+
+    frames = jnp.mean(x.astype(jnp.float32), axis=2)
+    n_out = frames.shape[1]
+    reduction = max(waveform.shape[-1] // max(n_out, 1), 1)
+    if waveform_lens is None:
+        lens = jnp.full((b,), n_out, jnp.int32)
+    else:
+        lens = jnp.round(waveform_lens.astype(jnp.float32) / reduction).astype(jnp.int32)
+    h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+    h = jax.nn.relu(linear(params["fc1"], h))
+    return {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),
+        "frame_embs_lens": lens,
+        "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
+        "embedding": h,
+    }
+
+
+def cnn6_apply(
+    params: Params,
+    waveform: jax.Array,
+    waveform_lens: jax.Array | None = None,
+    *,
+    logmel_cfg: LogMelConfig = PANN_LOGMEL,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    """Cnn6 forward (models.py:497-605): 4 ConvBlock5x5 stages."""
+    mel = logmel_spectrogram(waveform, logmel_cfg, compute_dtype=compute_dtype)
+    input_time_len = waveform.shape[-1]
+    mel = _bn(params["bn0"], mel, deterministic)
+    x = mel[..., None].astype(compute_dtype)
+    for block in params["blocks"]:
+        x = conv_block5x5(block, x, deterministic)
+    frames = jnp.mean(x.astype(jnp.float32), axis=2)
+    n_out = frames.shape[1]
+    reduction = max(input_time_len // max(n_out, 1), 1)
+    if waveform_lens is None:
+        lens = jnp.full((frames.shape[0],), n_out, jnp.int32)
+    else:
+        lens = jnp.round(waveform_lens.astype(jnp.float32) / reduction).astype(jnp.int32)
+    h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+    h = jax.nn.relu(linear(params["fc1"], h))
+    return {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),
+        "frame_embs_lens": lens,
+        "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
+        "embedding": h,
+    }

@@ -108,3 +108,24 @@ def test_zoo_members_output_contract(name, feat):
     assert outs["clipwise_output"].shape == (1, 527)
     probs = np.asarray(outs["clipwise_output"])
     assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_cnn6_and_wavegram():
+    from conette_tpu.models.pann_zoo import cnn6_apply, wavegram_logmel_cnn14_apply
+
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 64_000)).astype(np.float32) * 0.1
+    )
+    p6, f6 = build_pann_model("Cnn6")
+    assert f6 == 512
+    o6 = cnn6_apply(p6, wav, jnp.asarray([64_000], jnp.int32))
+    assert o6["frame_embs"].shape[1] == 512
+    assert o6["clipwise_output"].shape == (1, 527)
+
+    pw, fw = build_pann_model("Wavegram_Logmel_Cnn14")
+    assert fw == 2048
+    ow = wavegram_logmel_cnn14_apply(pw, wav, jnp.asarray([64_000], jnp.int32))
+    assert ow["frame_embs"].shape[1] == 2048
+    assert ow["clipwise_output"].shape == (1, 527)
+    probs = np.asarray(ow["clipwise_output"])
+    assert np.isfinite(probs).all()
