@@ -38,6 +38,16 @@ def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeated bench/driver runs skip the
+    # (tens of seconds) XLA compile
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(__file__), ".jax_cache"),
+        )
+    except Exception:
+        pass
+
     from conette_tpu.models.conette import (
         ConetteConfig,
         conette_init,

@@ -289,6 +289,33 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             batch["audio"] = aug_jit(jax.random.fold_in(aug_rng, step), batch["audio"])
         return batch
 
+    def run_validation(epoch: int) -> dict:
+        validator.reset()
+        val_losses = []
+        for j, b in enumerate(dm.eval_batches("val")):
+            if lim_val is not None and j >= lim_val:
+                break
+            vb = {
+                "audio": jnp.asarray(b["audio"]),
+                "audio_lens": jnp.asarray(b["audio_lens"]),
+                "mult_captions": jnp.asarray(b["mult_captions"]),
+            }
+            val_losses.append(float(val_loss_fn(state.params, vb)))
+            bos = jnp.asarray(b["mult_captions"][:, 0, 0])
+            preds, _ = gen_fn(state.params, vb["audio"], vb["audio_lens"], bos, forbid)
+            cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
+            validator.add_batch(cands, b["mult_references"])
+        metrics = validator.compute()
+        metrics["val/loss"] = float(np.mean(val_losses)) if val_losses else 0.0
+        return metrics
+
+    # val_on_start (reference train.py:457-482: validate before fit, e.g.
+    # after a warm-start resume)
+    if cfg.get("val_on_start") and dm.num_eval_loaders("val") > 0:
+        start_metrics = run_validation(-1)
+        logger.log_metrics({f"start_{k}": v for k, v in start_metrics.items()})
+        pylog.info(f"val_on_start: {start_metrics}")
+
     global_step = 0
     fit_start = time.time()
     last_train_loss = None
@@ -321,23 +348,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         if dm.num_eval_loaders("val") > 0 and (
             epoch % int(tr_cfg.get("val_every_n_epochs", 1)) == 0
         ):
-            validator.reset()
-            val_losses = []
-            for j, b in enumerate(dm.eval_batches("val")):
-                if lim_val is not None and j >= lim_val:
-                    break
-                vb = {
-                    "audio": jnp.asarray(b["audio"]),
-                    "audio_lens": jnp.asarray(b["audio_lens"]),
-                    "mult_captions": jnp.asarray(b["mult_captions"]),
-                }
-                val_losses.append(float(val_loss_fn(state.params, vb)))
-                bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-                preds, _ = gen_fn(state.params, vb["audio"], vb["audio_lens"], bos, forbid)
-                cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
-                validator.add_batch(cands, b["mult_references"])
-            val_metrics = validator.compute()
-            val_metrics["val/loss"] = float(np.mean(val_losses)) if val_losses else 0.0
+            val_metrics = run_validation(epoch)
             logger.log_metrics(val_metrics | {"epoch": epoch}, step=global_step)
             ckpt.step(
                 epoch, val_metrics,
