@@ -228,6 +228,13 @@ def build_pann_model(name: str, key: jax.Array | None = None) -> tuple[Params, i
         from conette_tpu.models.pann_zoo import mobilenetv1_init
 
         return mobilenetv1_init(key), 1024
+    if name_l == "mobilenetv2":
+        from conette_tpu.models.pann_zoo import mobilenetv2_init
+
+        return mobilenetv2_init(key), 1280
+    if name_l == "cnn14_16k":
+        # same Cnn14 body; the 16 kHz frontend is a LogMelConfig choice
+        return cnn14_init(key), CNN14_CHANNELS[-1]
     if name_l == "cnn6":
         from conette_tpu.models.pann_zoo import cnn6_init
 

@@ -391,3 +391,103 @@ def cnn6_apply(
         "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
         "embedding": h,
     }
+
+
+# --------------------------------------------------------------- MobileNetV2
+_MBV2_SETTING = [  # t (expand), c (out), n (repeats), s (stride) — models.py:1921-1930
+    (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+    (6, 96, 3, 2), (6, 160, 3, 1), (6, 320, 1, 1),
+]
+
+
+def _inverted_residual_init(key: jax.Array, inp: int, oup: int, stride: int,
+                            expand: int) -> Params:
+    hidden = round(inp * expand)
+    keys = iter(jax.random.split(key, 4))
+    p: Params = {"stride": stride, "use_res": stride == 1 and inp == oup,
+                 "expand": expand}
+    if expand != 1:
+        p["expand_conv"] = conv2d_init(next(keys), inp, hidden, (1, 1), init="torch")
+        p["expand_bn"] = batch_norm_init(hidden)
+    p["dwconv"] = conv2d_init(next(keys), hidden, hidden, (3, 3), groups=hidden, init="torch")
+    p["dw_bn"] = batch_norm_init(hidden)
+    p["project_conv"] = conv2d_init(next(keys), hidden, oup, (1, 1), init="torch")
+    p["project_bn"] = batch_norm_init(oup)
+    return p
+
+
+def _inverted_residual(p: Params, x: jax.Array, deterministic: bool) -> jax.Array:
+    """PANN InvertedResidual (models.py:1807-1862): stride via avg-pool
+    after the depthwise conv; ReLU6 activations; linear projection."""
+    y = x
+    if p["expand"] != 1:
+        y = conv2d(p["expand_conv"], y)
+        y = jnp.clip(jax.nn.relu(_bn(p["expand_bn"], y, deterministic)), 0, 6)
+    hidden = y.shape[-1]
+    y = conv2d(p["dwconv"], y, padding=((1, 1), (1, 1)), groups=hidden)
+    if p["stride"] == 2:
+        y = _avg_pool(y)
+    y = jnp.clip(jax.nn.relu(_bn(p["dw_bn"], y, deterministic)), 0, 6)
+    y = conv2d(p["project_conv"], y)
+    y = _bn(p["project_bn"], y, deterministic)
+    return x + y if p["use_res"] else y
+
+
+def mobilenetv2_init(key: jax.Array, num_classes: int = NUM_CLASSES, n_mels: int = 64) -> Params:
+    keys = iter(jax.random.split(key, 64))
+    params: Params = {
+        "bn0": batch_norm_init(n_mels),
+        "stem_conv": conv2d_init(next(keys), 1, 32, (3, 3), init="torch"),
+        "stem_bn": batch_norm_init(32),
+        "blocks": [],
+        "head_conv": conv2d_init(next(keys), 320, 1280, (1, 1), init="torch"),
+        "head_bn": batch_norm_init(1280),
+        "fc1": linear_init(next(keys), 1280, 1024, init="torch"),
+        "fc_audioset": linear_init(next(keys), 1024, num_classes, init="torch"),
+    }
+    inp = 32
+    for t, c, n, s in _MBV2_SETTING:
+        for i in range(n):
+            params["blocks"].append(
+                _inverted_residual_init(next(keys), inp, c, s if i == 0 else 1, t)
+            )
+            inp = c
+    return params
+
+
+def mobilenetv2_apply(
+    params: Params,
+    waveform: jax.Array,
+    waveform_lens: jax.Array | None = None,
+    *,
+    logmel_cfg: LogMelConfig = PANN_LOGMEL,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    """MobileNetV2 forward (models.py:1863-2020)."""
+    mel = logmel_spectrogram(waveform, logmel_cfg, compute_dtype=compute_dtype)
+    input_time_len = waveform.shape[-1]
+    mel = _bn(params["bn0"], mel, deterministic)
+    x = mel[..., None].astype(compute_dtype)
+    x = conv2d(params["stem_conv"], x, padding=((1, 1), (1, 1)))
+    x = _avg_pool(x)
+    x = jnp.clip(jax.nn.relu(_bn(params["stem_bn"], x, deterministic)), 0, 6)
+    for block in params["blocks"]:
+        x = _inverted_residual(block, x, deterministic)
+    x = conv2d(params["head_conv"], x)
+    x = jnp.clip(jax.nn.relu(_bn(params["head_bn"], x, deterministic)), 0, 6)
+    frames = jnp.mean(x.astype(jnp.float32), axis=2)
+    n_out = frames.shape[1]
+    reduction = max(input_time_len // max(n_out, 1), 1)
+    if waveform_lens is None:
+        lens = jnp.full((frames.shape[0],), n_out, jnp.int32)
+    else:
+        lens = jnp.round(waveform_lens.astype(jnp.float32) / reduction).astype(jnp.int32)
+    h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+    h = jax.nn.relu(linear(params["fc1"], h))
+    return {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),
+        "frame_embs_lens": lens,
+        "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
+        "embedding": h,
+    }

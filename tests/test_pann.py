@@ -129,3 +129,17 @@ def test_cnn6_and_wavegram():
     assert ow["clipwise_output"].shape == (1, 527)
     probs = np.asarray(ow["clipwise_output"])
     assert np.isfinite(probs).all()
+
+
+def test_mobilenetv2():
+    from conette_tpu.models.pann_zoo import mobilenetv2_apply
+
+    params, feat = build_pann_model("MobileNetV2")
+    assert feat == 1280
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 64_000)).astype(np.float32) * 0.1
+    )
+    outs = mobilenetv2_apply(params, wav, jnp.asarray([64_000], jnp.int32))
+    assert outs["frame_embs"].shape[1] == 1280
+    assert outs["clipwise_output"].shape == (1, 527)
+    assert np.isfinite(np.asarray(outs["clipwise_output"])).all()
