@@ -1,0 +1,120 @@
+"""End-to-end learning demo: synthesize class-separable audio with distinct
+captions, pack through the (random-weight) frozen ConvNeXt frontend, train
+the caption decoder, and verify validation CIDEr-D rises far above chance.
+
+Run: python scripts/demo_train.py [--epochs 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CLASSES = [
+    (440.0, "a low horn drones steadily in the distance"),
+    (1200.0, "a bright bell rings with a clear tone"),
+    (3000.0, "a shrill whistle pierces the air sharply"),
+    (120.0, "a deep engine rumbles and shakes the ground"),
+]
+
+
+def synth_clip(rng: np.random.Generator, class_idx: int, sr: int = 32_000) -> np.ndarray:
+    f0, _ = CLASSES[class_idx]
+    dur = rng.uniform(1.0, 2.0)
+    t = np.arange(int(sr * dur)) / sr
+    f = f0 * rng.uniform(0.95, 1.05)
+    sig = np.sin(2 * np.pi * f * t) + 0.3 * np.sin(2 * np.pi * 2 * f * t)
+    sig += 0.05 * rng.standard_normal(len(t))
+    return (0.3 * sig).astype(np.float32)
+
+
+def make_split(out_dir: str, subset: str, n: int, seed: int) -> None:
+    from conette_tpu.data.datasets import DictDataset
+    from conette_tpu.data.hdf import pack_to_hdf
+    from conette_tpu.prepare import ConvNeXtFrontend
+
+    rng = np.random.default_rng(seed)
+    frontend = ConvNeXtFrontend(seed=0)  # shared random frozen encoder
+    audio, captions, classes = [], [], []
+    for i in range(n):
+        c = i % len(CLASSES)
+        wav = synth_clip(rng, c)
+        emb = frontend((wav[None], 32_000))
+        audio.append(emb)
+        captions.append([CLASSES[c][1]] * 2)
+        classes.append(c)
+    ds = DictDataset(
+        {
+            "audio": audio,
+            "audio_lens": [a.shape[0] for a in audio],
+            "captions": captions,
+            "dataset": ["demo"] * n,
+            "subset": [subset] * n,
+            "source": [None] * n,
+            "fname": [f"{subset}_{i}.wav" for i in range(n)],
+        }
+    )
+    pack_to_hdf(ds, os.path.join(out_dir, f"demo_{subset}_x.hdf"), overwrite=True)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--out", type=str, default=None)
+    args = parser.parse_args()
+
+    work = args.out or tempfile.mkdtemp(prefix="conette_demo_")
+    print(f"workdir: {work}")
+    make_split(work, "dev", 160, seed=0)
+    make_split(work, "val", 32, seed=1)
+    make_split(work, "eval", 32, seed=2)
+
+    from conette_tpu.train.main import main_train
+
+    out = main_train(
+        [
+            f"trainer.max_epochs={args.epochs}",
+            "ckpts=loss",
+            f"dm.hdf_root={work}",
+            "dm.train_hdfs=[demo_dev_x.hdf]",
+            "dm.val_hdfs=[demo_val_x.hdf]",
+            "dm.test_hdfs=[demo_eval_x.hdf]",
+            "dm.bsize=16",
+            "pl.d_model=64",
+            "pl.nhead=4",
+            "pl.num_decoder_layers=2",
+            "pl.dim_feedforward=256",
+            "pl.max_pred_size=12",
+            "pl.min_pred_size=2",
+            "pl.beam_size=2",
+            "pl.lr=1e-3",
+            "pl.weight_decay=0.01",
+            "pl.mixup_alpha=0.4",
+            "pl.task_mode=none",
+            f"log_root={work}/logs",
+        ]
+    )
+    # summarize the val CIDEr-D trajectory
+    ciders = []
+    for line in open(os.path.join(out["run_dir"], "scalars.jsonl")):
+        rec = json.loads(line)
+        if "val/cider_d" in rec:
+            ciders.append(rec["val/cider_d"])
+    print(f"val CIDEr-D trajectory: {[round(c, 3) for c in ciders]}")
+    print(f"test scores: {json.dumps(out['test'], default=float)[:400]}")
+    final = ciders[-1] if ciders else 0.0
+    print(f"final val CIDEr-D: {final:.3f}")
+    assert final > 1.0, "expected CIDEr-D >> chance on separable classes"
+    print("DEMO OK: the captioning stack learns audio→caption mappings.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
