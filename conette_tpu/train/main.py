@@ -124,6 +124,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         num_decoder_layers=int(pl_cfg.get("num_decoder_layers", 6)),
         decoder_dropout_p=float(pl_cfg.get("decoder_dropout_p", 0.2)),
         dim_feedforward=int(pl_cfg.get("dim_feedforward", 2048)),
+        proj_dropout_p=float(pl_cfg.get("proj_dropout_p", 0.5)),
         bos_id=tokenizer.bos_token_id,
         eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.pad_token_id,
@@ -199,7 +200,10 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(p):
-            return training_loss(p, model_cfg, batch, rng)
+            return training_loss(
+                p, model_cfg, batch, rng,
+                use_mixup=model_cfg.mixup_alpha > 0,
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

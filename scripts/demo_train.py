@@ -66,13 +66,13 @@ def make_split(out_dir: str, subset: str, n: int, seed: int) -> None:
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--epochs", type=int, default=30)
     parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args()
 
     work = args.out or tempfile.mkdtemp(prefix="conette_demo_")
     print(f"workdir: {work}")
-    make_split(work, "dev", 160, seed=0)
+    make_split(work, "dev", 96, seed=0)
     make_split(work, "val", 32, seed=1)
     make_split(work, "eval", 32, seed=2)
 
@@ -94,9 +94,11 @@ def main() -> int:
             "pl.max_pred_size=12",
             "pl.min_pred_size=2",
             "pl.beam_size=2",
-            "pl.lr=1e-3",
+            "pl.lr=2e-3",
             "pl.weight_decay=0.01",
-            "pl.mixup_alpha=0.4",
+            "pl.mixup_alpha=0.0",
+            "pl.decoder_dropout_p=0.1",
+            "pl.proj_dropout_p=0.1",
             "pl.task_mode=none",
             f"log_root={work}/logs",
         ]
