@@ -17,7 +17,7 @@ log-mel → ConvNeXt → frame/clip heads per bucket.
 from __future__ import annotations
 
 import functools
-from typing import Any, Iterable, Sequence, Union
+from typing import Any, Iterable, Union
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ of the last feature map (same contract as models/pann.py).
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

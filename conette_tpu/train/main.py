@@ -19,7 +19,6 @@ Orchestration twin of the reference ``main_train``
 from __future__ import annotations
 
 import datetime
-import functools
 import logging
 import os
 import sys

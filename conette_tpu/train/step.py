@@ -9,7 +9,6 @@ DDP/NCCL all-reduce, ``conf/trainer/strategy/ddp.yaml``).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
