@@ -38,11 +38,11 @@ def setup():
     return params, memory, mem_pad, bos_ids, forbid
 
 
-def _step_logits(params, memory, mem_pad, prefixes):
+def _step_logits(params, memory, mem_pad, prefixes, cfg=CFG):
     """Full-forward last-position logits for a list of token prefixes."""
     ids = jnp.asarray(np.stack(prefixes).astype(np.int32))
     logits = decoder_forward(
-        params, CFG, jnp.asarray(memory), ids,
+        params, cfg, jnp.asarray(memory), ids,
         memory_key_padding_mask=jnp.asarray(mem_pad),
         caps_in_pad_mask=jnp.zeros(ids.shape, bool),
     )
@@ -54,7 +54,8 @@ def _log_softmax(x):
     return x - np.log(np.exp(x).sum(axis=-1, keepdims=True))
 
 
-def oracle_beam(params, memory, mem_pad, bos_ids, beam, min_pred, max_pred, forbid):
+def oracle_beam(params, memory, mem_pad, bos_ids, beam, min_pred, max_pred, forbid,
+                cfg=CFG):
     B = memory.shape[0]
     results = []
     for b in range(B):
@@ -65,9 +66,9 @@ def oracle_beam(params, memory, mem_pad, bos_ids, beam, min_pred, max_pred, forb
             prefixes = [p for p, _ in live]
             mem_rep = np.repeat(memory[b : b + 1], len(live), axis=0)
             pad_rep = np.repeat(mem_pad[b : b + 1], len(live), axis=0)
-            logits = _step_logits(params, mem_rep, pad_rep, prefixes)
+            logits = _step_logits(params, mem_rep, pad_rep, prefixes, cfg)
             if i < min_pred:
-                logits[:, CFG.eos_id] = -np.inf
+                logits[:, cfg.eos_id] = -np.inf
             if forbid is not None:
                 for r, (p, _) in enumerate(live):
                     for tok in p:
@@ -86,10 +87,10 @@ def oracle_beam(params, memory, mem_pad, bos_ids, beam, min_pred, max_pred, forb
             top = np.argsort(-flat, kind="stable")[:k]
             new_live = []
             for r in top:
-                parent, tok = divmod(int(r), CFG.vocab_size)
+                parent, tok = divmod(int(r), cfg.vocab_size)
                 score = float(flat[r])
                 prefix = live[parent][0] + [tok]
-                if tok == CFG.eos_id or i == max_pred - 1:
+                if tok == cfg.eos_id or i == max_pred - 1:
                     finished.append((prefix[1:], score / (i + 1)))
                 else:
                     new_live.append((prefix, score))
