@@ -46,9 +46,17 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         jax.config.update("jax_debug_nans", True)
 
     seed = int(cfg.get("seed", 1234))
+    # auto-tag the run dir from CLI overrides (twin of the reference's
+    # get_tag/get_subtag hydra resolvers, utils/hydra.py:47-126)
+    tag = "-".join(
+        a.replace("/", "_").replace("=", "_").replace("[", "").replace("]", "")
+        for a in argv
+        if not a.startswith(("log_root", "run_name", "dm.hdf_root"))
+    )[:80]
     run_name = cfg.get("run_name") or (
         f"{cfg.get('job', 'train')}-"
         + datetime.datetime.now().strftime("%Y.%m.%d-%H.%M.%S")
+        + (f"-{tag}" if tag else "")
     )
     run_dir = os.path.join(cfg.get("log_root", "logs"), run_name)
     os.makedirs(run_dir, exist_ok=True)
@@ -341,6 +349,15 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
                     step=global_step,
                 )
             last_train_loss = float(metrics["train/loss"])
+        if cfg.get("debug"):
+            import gc
+            import random as _random
+
+            pylog.debug(
+                f"epoch {epoch}: py_rng_state_csum="
+                f"{hash(_random.getstate()[1]) & 0xFFFFFFFF:08x} "
+                f"gc_objects={len(gc.get_objects())}"
+            )
         # NaN guard (twin of the reference's check_finite EarlyStopping,
         # train.py:188-194)
         if last_train_loss is not None and not np.isfinite(last_train_loss):

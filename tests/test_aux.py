@@ -144,3 +144,12 @@ class TestDcase:
         rows = list(csv.DictReader(open(fpath)))
         assert rows[0]["file_name"] == "a.wav"
         assert rows[0]["caption_predicted"] == "a dog barks"
+
+
+class TestInfoCli:
+    def test_print_install_info(self, capsys):
+        from conette_tpu.info import print_install_info
+
+        assert print_install_info() == 0
+        out = capsys.readouterr().out
+        assert "conette_tpu" in out and "jax" in out
