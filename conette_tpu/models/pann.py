@@ -235,6 +235,14 @@ def build_pann_model(name: str, key: jax.Array | None = None) -> tuple[Params, i
     if name_l == "cnn14_16k":
         # same Cnn14 body; the 16 kHz frontend is a LogMelConfig choice
         return cnn14_init(key), CNN14_CHANNELS[-1]
+    if name_l in ("leenet11", "leenet24"):
+        from conette_tpu.models.pann_zoo import leenet_init
+
+        return leenet_init(key, name_l), 256 if name_l == "leenet11" else 1024
+    if name_l == "dainet19":
+        from conette_tpu.models.pann_zoo import dainet_init
+
+        return dainet_init(key), 512
     if name_l == "cnn6":
         from conette_tpu.models.pann_zoo import cnn6_init
 

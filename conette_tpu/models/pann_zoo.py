@@ -489,3 +489,155 @@ def mobilenetv2_apply(
         "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
         "embedding": h,
     }
+
+
+# ------------------------------------------------------- LeeNet11 / LeeNet24
+def _max_pool1d_pad(x: jax.Array, k: int) -> jax.Array:
+    """max_pool1d with padding=k//2 (torch F.max_pool1d semantics)."""
+    pad = k // 2
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, 1), (1, k, 1),
+        [(0, 0), (pad, pad), (0, 0)],
+    )
+
+
+def _leenet_block_init(key: jax.Array, in_ch: int, out_ch: int, double: bool) -> Params:
+    k1, k2 = jax.random.split(key)
+    p: Params = {
+        "conv1": _conv1d_init(k1, in_ch, out_ch, 3),
+        "bn1": batch_norm_init(out_ch),
+    }
+    if double:  # LeeNetConvBlock2 (models.py:2116-2155)
+        p["conv2"] = _conv1d_init(k2, out_ch, out_ch, 3)
+        p["bn2"] = batch_norm_init(out_ch)
+    return p
+
+
+def _leenet_block(p: Params, x: jax.Array, stride: int, pool: int,
+                  deterministic: bool) -> jax.Array:
+    y = jax.nn.relu(
+        _bn(p["bn1"], _conv1d(p["conv1"], x, stride=stride, padding=1), deterministic)
+    )
+    if "conv2" in p:
+        y = jax.nn.relu(_bn(p["bn2"], _conv1d(p["conv2"], y, padding=1), deterministic))
+    if pool != 1:
+        y = _max_pool1d_pad(y, pool)
+    return y
+
+
+_LEENET11 = [(1, 64), (64, 64), (64, 64), (64, 128), (128, 128), (128, 128),
+             (128, 128), (128, 128), (128, 256)]
+_LEENET24 = [(1, 64), (64, 96), (96, 128), (128, 128), (128, 256), (256, 256),
+             (256, 512), (512, 512), (512, 1024)]
+
+
+def leenet_init(key: jax.Array, variant: str = "leenet11",
+                num_classes: int = NUM_CLASSES) -> Params:
+    """Raw-waveform LeeNet (models.py:2051-2110 LeeNet11 with single-conv
+    blocks / 2157-2230 LeeNet24 with double-conv blocks)."""
+    double = variant == "leenet24"
+    spec = _LEENET24 if double else _LEENET11
+    keys = iter(jax.random.split(key, len(spec) + 4))
+    emb = spec[-1][1]
+    fc1_out = 512 if not double else 1024
+    return {
+        "blocks": [_leenet_block_init(next(keys), i, o, double) for i, o in spec],
+        "fc1": linear_init(next(keys), emb, fc1_out, init="torch"),
+        "fc_audioset": linear_init(next(keys), fc1_out, num_classes, init="torch"),
+        "double": double,
+    }
+
+
+def leenet_apply(
+    params: Params,
+    waveform: jax.Array,
+    *,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    x = waveform[:, :, None].astype(compute_dtype)  # (B, T, 1) NWC
+    for i, block in enumerate(params["blocks"]):
+        stride = 3 if i == 0 else 1
+        pool = 1 if i == 0 else 3
+        x = _leenet_block(block, x, stride, pool, deterministic)
+    frames = x.astype(jnp.float32)  # (B, T', C)
+    h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+    h = jax.nn.relu(linear(params["fc1"], h))
+    return {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),
+        "frame_embs_lens": jnp.full((x.shape[0],), frames.shape[1], jnp.int32),
+        "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
+        "embedding": h,
+    }
+
+
+# ------------------------------------------------------------------ DaiNet19
+def _dainet_res_block_init(key: jax.Array, in_ch: int, out_ch: int) -> Params:
+    keys = iter(jax.random.split(key, 6))
+    p: Params = {}
+    ch = in_ch
+    for i in range(1, 5):
+        p[f"conv{i}"] = _conv1d_init(next(keys), ch, out_ch, 3)
+        p[f"bn{i}"] = batch_norm_init(out_ch)
+        ch = out_ch
+    if in_ch != out_ch:
+        p["downsample"] = _conv1d_init(next(keys), in_ch, out_ch, 1)
+        p["bn_downsample"] = batch_norm_init(out_ch)
+    return p
+
+
+def _dainet_res_block(p: Params, x: jax.Array, pool: int, deterministic: bool) -> jax.Array:
+    """DaiNetResBlock (models.py:2230-2300): 4 conv1d-BN with residual."""
+    y = x
+    for i in range(1, 4):
+        y = jax.nn.relu(_bn(p[f"bn{i}"], _conv1d(p[f"conv{i}"], y, padding=1), deterministic))
+    y = _bn(p["bn4"], _conv1d(p["conv4"], y, padding=1), deterministic)
+    if "downsample" in p:
+        idn = _bn(p["bn_downsample"], _conv1d(p["downsample"], x), deterministic)
+        y = jax.nn.relu(y + idn)
+    else:
+        y = jax.nn.relu(y + x)
+    if pool != 1:
+        y = _max_pool1d_pad(y, pool)
+    return y
+
+
+def dainet_init(key: jax.Array, num_classes: int = NUM_CLASSES) -> Params:
+    keys = iter(jax.random.split(key, 10))
+    return {
+        "conv0": _conv1d_init(next(keys), 1, 64, 80),
+        "bn0": batch_norm_init(64),
+        "blocks": [
+            _dainet_res_block_init(next(keys), 64, 64),
+            _dainet_res_block_init(next(keys), 64, 128),
+            _dainet_res_block_init(next(keys), 128, 256),
+            _dainet_res_block_init(next(keys), 256, 512),
+        ],
+        "fc1": linear_init(next(keys), 512, 512, init="torch"),
+        "fc_audioset": linear_init(next(keys), 512, num_classes, init="torch"),
+    }
+
+
+def dainet_apply(
+    params: Params,
+    waveform: jax.Array,
+    *,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    """DaiNet19 (models.py: conv0 k80 s4 → 4 res blocks with maxpool4
+    between the first three)."""
+    x = waveform[:, :, None].astype(compute_dtype)
+    x = jax.nn.relu(_bn(params["bn0"], _conv1d(params["conv0"], x, stride=4), deterministic))
+    for i, block in enumerate(params["blocks"]):
+        pool = 4 if i < 3 else 1
+        x = _dainet_res_block(block, x, pool, deterministic)
+    frames = x.astype(jnp.float32)
+    h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+    h = jax.nn.relu(linear(params["fc1"], h))
+    return {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),
+        "frame_embs_lens": jnp.full((x.shape[0],), frames.shape[1], jnp.int32),
+        "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
+        "embedding": h,
+    }

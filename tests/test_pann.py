@@ -143,3 +143,20 @@ def test_mobilenetv2():
     assert outs["frame_embs"].shape[1] == 1280
     assert outs["clipwise_output"].shape == (1, 527)
     assert np.isfinite(np.asarray(outs["clipwise_output"])).all()
+
+
+def test_leenet_and_dainet():
+    from conette_tpu.models.pann_zoo import dainet_apply, leenet_apply
+
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 32_000)).astype(np.float32) * 0.1
+    )
+    p11, f11 = build_pann_model("LeeNet11")
+    o11 = leenet_apply(p11, wav)
+    assert o11["frame_embs"].shape[1] == 256 == f11
+    assert o11["clipwise_output"].shape == (1, 527)
+
+    pd, fd = build_pann_model("DaiNet19")
+    od = dainet_apply(pd, wav)
+    assert od["frame_embs"].shape[1] == 512 == fd
+    assert np.isfinite(np.asarray(od["clipwise_output"])).all()
