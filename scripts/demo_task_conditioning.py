@@ -1,0 +1,140 @@
+"""Task-embedding demo: the same audio captioned in two different styles
+selected by the ``<bos_task>`` token — the headline CoNeTTE capability
+(task_mode=ds over two synthetic "datasets" with different caption styles).
+
+Run: python scripts/demo_task_conditioning.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.demo_train import CLASSES, synth_clip  # noqa: E402
+
+STYLES = {
+    # task → caption template per audio class
+    "clotho": [
+        "a low horn is droning in the distance",
+        "a bright bell is ringing with a clear tone",
+        "a shrill whistle is piercing the air",
+        "a deep engine is rumbling on the ground",
+    ],
+    "audiocaps": [
+        "horn drone far away",
+        "bell ring clear",
+        "whistle pierce sharp",
+        "engine rumble deep",
+    ],
+}
+
+
+def make_split(out_dir: str, subset: str, n: int, seed: int) -> None:
+    from conette_tpu.data.datasets import DictDataset
+    from conette_tpu.data.hdf import pack_to_hdf
+    from conette_tpu.prepare import ConvNeXtFrontend
+
+    rng = np.random.default_rng(seed)
+    frontend = ConvNeXtFrontend(seed=0)
+    audio, captions, datasets = [], [], []
+    tasks = list(STYLES)
+    for i in range(n):
+        c = i % len(CLASSES)
+        task = tasks[(i // len(CLASSES)) % 2]
+        emb = frontend((synth_clip(rng, c)[None], 32_000))
+        audio.append(emb)
+        captions.append([STYLES[task][c]] * 2)
+        datasets.append(task)
+    ds = DictDataset(
+        {
+            "audio": audio,
+            "audio_lens": [a.shape[0] for a in audio],
+            "captions": captions,
+            "dataset": datasets,
+            "subset": [subset] * n,
+            "source": [None] * n,
+            "fname": [f"{subset}_{i}.wav" for i in range(n)],
+        }
+    )
+    pack_to_hdf(ds, os.path.join(out_dir, f"multi_{subset}_x.hdf"), overwrite=True)
+
+
+def main() -> int:
+    work = tempfile.mkdtemp(prefix="conette_taskdemo_")
+    make_split(work, "dev", 192, seed=0)
+    make_split(work, "val", 16, seed=1)
+
+    from conette_tpu.train.main import main_train
+
+    out = main_train(
+        [
+            "trainer.max_epochs=60",
+            "ckpts=loss",
+            f"dm.hdf_root={work}",
+            "dm.train_hdfs=[multi_dev_x.hdf]",
+            "dm.val_hdfs=[multi_val_x.hdf]",
+            "dm.test_hdfs=[]",
+            "dm.bsize=16",
+            "pl.d_model=64",
+            "pl.nhead=4",
+            "pl.num_decoder_layers=2",
+            "pl.dim_feedforward=256",
+            "pl.max_pred_size=12",
+            "pl.min_pred_size=2",
+            "pl.beam_size=2",
+            "pl.lr=2e-3",
+            "pl.weight_decay=0.01",
+            "pl.mixup_alpha=0.0",
+            "pl.decoder_dropout_p=0.1",
+            "pl.proj_dropout_p=0.1",
+            "pl.task_mode=ds",
+            "dm.train_audio_transform=none",
+            "pl.label_smoothing=0.05",
+            "pl.task_names=[clotho,audiocaps]",
+            "test_after_fit=false",
+            f"log_root={work}/logs",
+        ]
+    )
+
+    # --- load best checkpoint and caption the SAME clip under both tasks
+    import jax.numpy as jnp
+
+    from conette_tpu.huggingface.model import CoNeTTEModel
+
+    model = CoNeTTEModel.from_pretrained(out["run_dir"])
+    from conette_tpu.prepare import ConvNeXtFrontend
+
+    frontend = ConvNeXtFrontend(seed=0)
+    rng = np.random.default_rng(99)
+    ok = 0
+    style_ok = 0
+    for c in range(len(CLASSES)):
+        emb = frontend((synth_clip(rng, c)[None], 32_000))
+        x = emb[None]
+        shapes = np.asarray([[768, emb.shape[0]]])
+        cap_cl = model(x, preprocess=False, x_shapes=shapes, task="clotho")["cands"][0]
+        cap_ac = model(x, preprocess=False, x_shapes=shapes, task="audiocaps")["cands"][0]
+        match_cl = cap_cl == STYLES["clotho"][c]
+        match_ac = cap_ac == STYLES["audiocaps"][c]
+        print(f"class {c}: clotho={cap_cl!r} ({'OK' if match_cl else 'x'}) | "
+              f"audiocaps={cap_ac!r} ({'OK' if match_ac else 'x'})")
+        ok += int(match_cl) + int(match_ac)
+        style_ok += int(cap_cl in STYLES["clotho"]) + int(cap_ac in STYLES["audiocaps"])
+    print(f"{ok}/8 captions exactly correct; {style_ok}/8 in the task's style")
+    # With a RANDOM frozen encoder, class separation is approximate (the
+    # production system uses the pretrained AudioSet tagger); the demo's
+    # claim is the task embedding: every caption must be in its task's
+    # style, and at least half must also pick the right audio class.
+    assert style_ok == 8, "task token failed to control caption style"
+    assert ok >= 4, "audio conditioning collapsed entirely"
+    print("TASK DEMO OK: the <bos_task> token switches caption style.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
