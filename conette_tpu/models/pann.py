@@ -130,6 +130,18 @@ def cnn14_init(key: jax.Array, **kw: Any) -> Params:
     return pann_init(key, CNN14_CHANNELS, **kw)
 
 
+def cnn14_emb_init(key: jax.Array, emb_dim: int = 512, **kw: Any) -> Params:
+    """Cnn14_emb512/128/32 twins (models.py:1315-1660): fc1 projects the
+    pooled features to a smaller embedding before the AudioSet head."""
+    params = pann_init(key, CNN14_CHANNELS, **kw)
+    k1, k2 = jax.random.split(jax.random.fold_in(key, 99))
+    params["fc1"] = linear_init(k1, CNN14_CHANNELS[-1], emb_dim, init="torch")
+    params["fc_audioset"] = linear_init(
+        k2, emb_dim, kw.get("num_classes", NUM_AUDIOSET_CLASSES), init="torch"
+    )
+    return params
+
+
 def cnn14_att_init(key: jax.Array, **kw: Any) -> Params:
     return pann_init(key, CNN14_CHANNELS, att_head=True, **kw)
 
@@ -224,6 +236,13 @@ def build_pann_model(name: str, key: jax.Array | None = None) -> tuple[Params, i
         from conette_tpu.models.pann_zoo import resnet22_init
 
         return resnet22_init(key), 2048
+    if name_l == "resnet38":
+        from conette_tpu.models.pann_zoo import resnet38_init
+
+        return resnet38_init(key), 2048
+    if name_l.startswith("cnn14_emb"):
+        emb_dim = int(name_l.removeprefix("cnn14_emb"))
+        return cnn14_emb_init(key, emb_dim), CNN14_CHANNELS[-1]
     if name_l == "mobilenetv1":
         from conette_tpu.models.pann_zoo import mobilenetv1_init
 

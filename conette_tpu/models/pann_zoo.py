@@ -80,8 +80,15 @@ def _basic_block(p: Params, x: jax.Array, deterministic: bool) -> jax.Array:
     return jax.nn.relu(out + identity)
 
 
-def resnet22_init(key: jax.Array, num_classes: int = NUM_CLASSES, n_mels: int = 64) -> Params:
-    keys = iter(jax.random.split(key, 16))
+def resnet22_init(
+    key: jax.Array,
+    num_classes: int = NUM_CLASSES,
+    n_mels: int = 64,
+    depths: tuple[int, int, int, int] = (2, 2, 2, 2),
+) -> Params:
+    """ResNet22 by default; ``depths=(3, 4, 6, 3)`` gives the ResNet38
+    layout (models.py:1089-1200) — same basic blocks, deeper stages."""
+    keys = iter(jax.random.split(key, 8 + 2 * sum(depths)))
     params: Params = {
         "bn0": batch_norm_init(n_mels),
         "conv_block1": conv_block_init(next(keys), 1, 64),
@@ -91,13 +98,20 @@ def resnet22_init(key: jax.Array, num_classes: int = NUM_CLASSES, n_mels: int = 
         "fc_audioset": linear_init(next(keys), 2048, num_classes, init="torch"),
     }
     inplanes = 64
-    for planes, blocks, stride in [(64, 2, 1), (128, 2, 2), (256, 2, 2), (512, 2, 2)]:
+    strides = (1, 2, 2, 2)
+    for (planes, stride), blocks in zip(
+        zip((64, 128, 256, 512), strides), depths
+    ):
         stage = [_basic_block_init(next(keys), inplanes, planes, stride)]
         inplanes = planes
         for _ in range(1, blocks):
             stage.append(_basic_block_init(next(keys), inplanes, planes, 1))
         params["layers"].append(stage)
     return params
+
+
+def resnet38_init(key: jax.Array, **kw) -> Params:
+    return resnet22_init(key, depths=(3, 4, 6, 3), **kw)
 
 
 # --------------------------------------------------------------- MobileNetV1

@@ -160,3 +160,19 @@ def test_leenet_and_dainet():
     od = dainet_apply(pd, wav)
     assert od["frame_embs"].shape[1] == 512 == fd
     assert np.isfinite(np.asarray(od["clipwise_output"])).all()
+
+
+def test_resnet38_and_cnn14_emb():
+    from conette_tpu.models.pann_zoo import pann_zoo_apply
+
+    p38, f38 = build_pann_model("ResNet38")
+    assert f38 == 2048
+    assert sum(len(s) for s in p38["layers"]) == 16  # 3+4+6+3
+
+    pe, _ = build_pann_model("Cnn14_emb512")
+    assert pe["fc1"]["weight"].shape == (2048, 512)
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 32_000)).astype(np.float32) * 0.1
+    )
+    outs = pann_apply(pe, wav)
+    assert outs["clipwise_output"].shape == (1, 527)
