@@ -201,6 +201,14 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     ema_decay = tr_cfg.get("ema_decay")
     ema_params = params if ema_decay else None
 
+    # per-epoch LR logging (LogLRCallback twin, callbacks/log.py:16-60)
+    from conette_tpu.train.optim import get_schedule
+
+    lr_schedule = get_schedule(
+        pl_cfg.get("sched_name", "cos_decay"), float(pl_cfg.get("lr", 5e-4)),
+        max_epochs,
+    )
+
     from conette_tpu.train.objective import training_loss, validation_loss
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
@@ -345,7 +353,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             if i == 0:
                 logger.log_metrics(
                     {k: float(v) for k, v in metrics.items()}
-                    | {"epoch": epoch},
+                    | {"epoch": epoch, "train/lr": float(lr_schedule(epoch))},
                     step=global_step,
                 )
             last_train_loss = float(metrics["train/loss"])
