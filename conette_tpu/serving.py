@@ -125,6 +125,26 @@ def caption_corpus(
     return [results[i] for i in range(n)]
 
 
+def warmup(
+    model: CoNeTTEModel,
+    bucket_seconds: Sequence[int] = (1, 5, 10, 30),
+    batch_size: int = 32,
+    beam_size: int | None = None,
+) -> None:
+    """Pre-compile the captioning pipeline for the given length buckets so a
+    serving process takes no compile hits on live traffic (pairs with the
+    persistent jax compilation cache)."""
+    rng = np.random.default_rng(0)
+    for secs in bucket_seconds:
+        n = secs * model.preprocessor.target_sr
+        wav = rng.standard_normal((batch_size, n)).astype(np.float32) * 0.01
+        model.forward(
+            wav, sr=model.preprocessor.target_sr,
+            task=model.default_task, beam_size=beam_size,
+        )
+        pylog.info(f"warmup: compiled {secs}s bucket (batch {batch_size})")
+
+
 def make_sharded_caption_fn(model: CoNeTTEModel, mesh: Any, beam_size: int | None = None):
     """jit the full waveform→tokens pipeline with batch rows sharded over
     the mesh ``data`` axis (replicated params). Returns

@@ -83,3 +83,9 @@ def test_sharded_caption_fn_on_mesh(model):
         preds_np = np.asarray(preds)
         # all rows identical input → identical captions
         assert not np.array_equal(preds_np[0], np.zeros_like(preds_np[0]))
+
+
+def test_warmup_compiles_buckets(model):
+    from conette_tpu.serving import warmup
+
+    warmup(model, bucket_seconds=(1,), batch_size=2)
