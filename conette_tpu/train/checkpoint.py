@@ -41,9 +41,26 @@ def save_checkpoint(
     step: int = 0,
     meta: dict | None = None,
     tokenizer: AACTokenizer | None = None,
+    backend: str = "npz",
 ) -> str:
+    """``backend="npz"`` (default, dependency-light) or ``"orbax"``
+    (TPU-native: async, multi-host, sharded-array aware — the SURVEY §5
+    orbax plan; falls back to npz when orbax is unavailable)."""
     os.makedirs(ckpt_dir, exist_ok=True)
-    save_params_npz(os.path.join(ckpt_dir, "params.npz"), params)
+    if backend == "orbax":
+        try:
+            import orbax.checkpoint as ocp
+
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(
+                os.path.abspath(os.path.join(ckpt_dir, "orbax")), params, force=True
+            )
+            ckptr.wait_until_finished()
+        except Exception as err:
+            pylog.warning(f"orbax save failed ({err}); falling back to npz")
+            backend = "npz"
+    if backend == "npz":
+        save_params_npz(os.path.join(ckpt_dir, "params.npz"), params)
     if opt_state is not None:
         flat = {
             k: np.asarray(v)
@@ -63,7 +80,16 @@ def load_checkpoint(
     """→ {"params", "meta", "tokenizer"?, "opt_state_flat"?}. ``ign_weights``
     is a regex of parameter paths to drop (warm-start filter)."""
     out: dict[str, Any] = {}
-    params = load_params_npz(os.path.join(ckpt_dir, "params.npz"))
+    npz_path = os.path.join(ckpt_dir, "params.npz")
+    orbax_path = os.path.join(ckpt_dir, "orbax")
+    if os.path.isfile(npz_path):
+        params = load_params_npz(npz_path)
+    elif os.path.isdir(orbax_path):
+        import orbax.checkpoint as ocp
+
+        params = ocp.StandardCheckpointer().restore(os.path.abspath(orbax_path))
+    else:
+        raise FileNotFoundError(f"no params.npz or orbax/ under {ckpt_dir}")
     if ign_weights:
         pat = re.compile(ign_weights)
         flat = flatten_pytree(params)

@@ -153,3 +153,25 @@ class TestInfoCli:
         assert print_install_info() == 0
         out = capsys.readouterr().out
         assert "conette_tpu" in out and "jax" in out
+
+
+class TestCheckpointBackends:
+    def test_orbax_roundtrip(self, tmp_path):
+        from conette_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+        params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}
+        d = str(tmp_path / "ck")
+        save_checkpoint(d, params, backend="orbax", meta={"x": 1})
+        loaded = load_checkpoint(d)
+        np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]),
+                                      np.asarray(params["w"]))
+        assert loaded["meta"]["x"] == 1
+
+    def test_npz_default(self, tmp_path):
+        from conette_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+        params = {"w": jnp.ones((2, 2))}
+        d = str(tmp_path / "ck2")
+        save_checkpoint(d, params)
+        loaded = load_checkpoint(d)
+        np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]), 1.0)
