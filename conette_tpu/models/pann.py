@@ -240,6 +240,10 @@ def build_pann_model(name: str, key: jax.Array | None = None) -> tuple[Params, i
         from conette_tpu.models.pann_zoo import resnet38_init
 
         return resnet38_init(key), 2048
+    if name_l == "resnet54":
+        from conette_tpu.models.pann_zoo import resnet54_init
+
+        return resnet54_init(key), 2048
     if name_l.startswith("cnn14_emb"):
         emb_dim = int(name_l.removeprefix("cnn14_emb"))
         return cnn14_emb_init(key, emb_dim), CNN14_CHANNELS[-1]

@@ -655,3 +655,99 @@ def dainet_apply(
         "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
         "embedding": h,
     }
+
+
+# ------------------------------------------------------- ResNet54 bottleneck
+def _bottleneck_init(key: jax.Array, inplanes: int, planes: int, stride: int) -> Params:
+    """PANN _ResnetBottleneck (expansion 4, pre-avgpool stride,
+    zero-init final BN; models.py:805-872)."""
+    keys = iter(jax.random.split(key, 4))
+    out_ch = planes * 4
+    p: Params = {
+        "conv1": conv2d_init(next(keys), inplanes, planes, (1, 1), init="torch"),
+        "bn1": batch_norm_init(planes),
+        "conv2": conv2d_init(next(keys), planes, planes, (3, 3), init="torch"),
+        "bn2": batch_norm_init(planes),
+        "conv3": conv2d_init(next(keys), planes, out_ch, (1, 1), init="torch"),
+        "bn3": dict(batch_norm_init(out_ch), weight=jnp.zeros((out_ch,), jnp.float32)),
+        "stride": stride,
+    }
+    if stride != 1 or inplanes != out_ch:
+        p["downsample"] = {
+            "conv": conv2d_init(next(keys), inplanes, out_ch, (1, 1), init="torch"),
+            "bn": batch_norm_init(out_ch),
+        }
+    return p
+
+
+def _bottleneck(p: Params, x: jax.Array, deterministic: bool) -> jax.Array:
+    if p["stride"] == 2:
+        x = _avg_pool(x)
+    out = jax.nn.relu(_bn(p["bn1"], conv2d(p["conv1"], x), deterministic))
+    out = jax.nn.relu(
+        _bn(p["bn2"], conv2d(p["conv2"], out, padding=((1, 1), (1, 1))), deterministic)
+    )
+    out = _bn(p["bn3"], conv2d(p["conv3"], out), deterministic)
+    identity = x
+    if "downsample" in p:
+        identity = _bn(p["downsample"]["bn"], conv2d(p["downsample"]["conv"], x),
+                       deterministic)
+    return jax.nn.relu(out + identity)
+
+
+def resnet54_init(key: jax.Array, num_classes: int = NUM_CLASSES, n_mels: int = 64) -> Params:
+    """ResNet54 (models.py:1202-1315): bottleneck stages [3,4,6,3]; the
+    last stage emits 2048 channels directly (no conv_block_after1)."""
+    depths = (3, 4, 6, 3)
+    keys = iter(jax.random.split(key, 8 + 2 * sum(depths)))
+    params: Params = {
+        "bn0": batch_norm_init(n_mels),
+        "conv_block1": conv_block_init(next(keys), 1, 64),
+        "layers": [],
+        "fc1": linear_init(next(keys), 2048, 2048, init="torch"),
+        "fc_audioset": linear_init(next(keys), 2048, num_classes, init="torch"),
+        "bottleneck": True,
+    }
+    inplanes = 64
+    for planes, blocks, stride in zip((64, 128, 256, 512), depths, (1, 2, 2, 2)):
+        stage = [_bottleneck_init(next(keys), inplanes, planes, stride)]
+        inplanes = planes * 4
+        for _ in range(1, blocks):
+            stage.append(_bottleneck_init(next(keys), inplanes, planes, 1))
+        params["layers"].append(stage)
+    return params
+
+
+def resnet54_apply(
+    params: Params,
+    waveform: jax.Array,
+    waveform_lens: jax.Array | None = None,
+    *,
+    logmel_cfg: LogMelConfig = PANN_LOGMEL,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    mel = logmel_spectrogram(waveform, logmel_cfg, compute_dtype=compute_dtype)
+    input_time_len = waveform.shape[-1]
+    mel = _bn(params["bn0"], mel, deterministic)
+    x = mel[..., None].astype(compute_dtype)
+    x, _ = conv_block(params["conv_block1"], x, deterministic=deterministic)
+    for stage in params["layers"]:
+        for block in stage:
+            x = _bottleneck(block, x, deterministic)
+    x = _avg_pool(x)
+    frames = jnp.mean(x.astype(jnp.float32), axis=2)
+    n_out = frames.shape[1]
+    reduction = max(input_time_len // max(n_out, 1), 1)
+    if waveform_lens is None:
+        lens = jnp.full((frames.shape[0],), n_out, jnp.int32)
+    else:
+        lens = jnp.round(waveform_lens.astype(jnp.float32) / reduction).astype(jnp.int32)
+    h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+    h = jax.nn.relu(linear(params["fc1"], h))
+    return {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),
+        "frame_embs_lens": lens,
+        "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
+        "embedding": h,
+    }

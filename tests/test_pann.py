@@ -176,3 +176,16 @@ def test_resnet38_and_cnn14_emb():
     )
     outs = pann_apply(pe, wav)
     assert outs["clipwise_output"].shape == (1, 527)
+
+
+def test_resnet54_bottleneck():
+    from conette_tpu.models.pann_zoo import resnet54_apply
+
+    params, feat = build_pann_model("ResNet54")
+    assert feat == 2048
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 32_000)).astype(np.float32) * 0.1
+    )
+    outs = resnet54_apply(params, wav, jnp.asarray([32_000], jnp.int32))
+    assert outs["frame_embs"].shape[1] == 2048
+    assert np.isfinite(np.asarray(outs["clipwise_output"])).all()
