@@ -195,6 +195,19 @@ class CoNeTTEModel:
         max_pred_size: Optional[int] = None,
         forbid_rep_mode: Optional[str] = None,
     ) -> CoNeTTEOutput:
+        # validate tasks BEFORE the (expensive) preprocessing pass
+        if isinstance(task, str):
+            _check = [task]
+        elif task is not None:
+            _check = list(task)
+        else:
+            _check = []
+        for t in _check:
+            if t not in self.config.task_names:
+                raise ValueError(
+                    f"Invalid task {t!r}. (not in {list(self.config.task_names)})"
+                )
+
         if preprocess:
             batch = self.preprocessor(x, sr, x_shapes)
             clip_probs = np.asarray(batch.pop("clip_probs"))

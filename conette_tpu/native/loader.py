@@ -70,6 +70,19 @@ def is_available() -> bool:
     return _load_lib() is not None
 
 
+_ERROR_MESSAGES = {
+    -1: "cannot open file",
+    -2: "not a RIFF/WAVE file",
+    -3: "unsupported WAV encoding",
+    -4: "invalid argument/buffer",
+}
+
+
+def _raise(fn: str, path: str, rc: int) -> None:
+    reason = _ERROR_MESSAGES.get(rc, f"error code {rc}")
+    raise OSError(f"{fn}({path!r}): {reason}")
+
+
 def wav_info(path: str) -> tuple[int, int, int]:
     """(sample_rate, channels, num_frames)."""
     lib = _load_lib()
@@ -80,7 +93,7 @@ def wav_info(path: str) -> tuple[int, int, int]:
     n = ctypes.c_int64()
     rc = lib.conette_wav_info(path.encode(), sr, ch, n)
     if rc != 0:
-        raise OSError(f"conette_wav_info({path!r}) failed with code {rc}")
+        _raise("conette_wav_info", path, rc)
     return sr.value, ch.value, n.value
 
 
@@ -102,7 +115,7 @@ def load_resample_mono(path: str, target_sr: int = 0) -> np.ndarray:
         out_len,
     )
     if rc != 0:
-        raise OSError(f"conette_load_resample_mono({path!r}) failed ({rc})")
+        _raise("conette_load_resample_mono", path, rc)
     return out[: out_len.value].copy()
 
 
