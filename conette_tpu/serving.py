@@ -112,7 +112,8 @@ def caption_corpus(
                     [np.full((batch_size,), 768), np.asarray(batch["frame_embs_lens"])],
                     axis=1,
                 ),
-                task=[tasks[chunk[0]]] * batch_size,
+                task=[tasks[i] for i in chunk]
+                + [tasks[chunk[0]]] * (batch_size - b),
                 beam_size=beam_size,
             )
             for row, i in enumerate(chunk):

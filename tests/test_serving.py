@@ -89,3 +89,16 @@ def test_warmup_compiles_buckets(model):
     from conette_tpu.serving import warmup
 
     warmup(model, bucket_seconds=(1,), batch_size=2)
+
+
+def test_caption_corpus_mixed_tasks_in_one_bucket(model, wav_files):
+    """Per-clip tasks must be honored inside a shared batch/bucket
+    (round-1 bug: every clip in a batch got the first clip's task).
+    clip_0 (0.7 s) and clip_2 (0.9 s) land in the same 1 s bucket."""
+    paths = [wav_files[0], wav_files[2]]
+    tasks = ["clotho", "audiocaps"]
+    results = caption_corpus(model, paths, task=tasks, batch_size=2)
+    for r, p, t in zip(results, paths, tasks):
+        assert r.task == t
+        direct = model(p, task=t)
+        assert r.caption == direct["cands"][0], (t, r.caption)
