@@ -193,7 +193,9 @@ class HDFDataModule:
     def _postprocess(self, batch: dict[str, Any]) -> dict[str, Any]:
         """Rewrite first caption ids to task tokens + pack lens."""
         if batch.get("audio_lens") is None and "audio_shape" in batch:
-            batch["audio_lens"] = batch["audio_shape"][:, 0]
+            # audio_shape rows are (FEAT_SIZE, len) — the length is the LAST
+            # column (preprocessor layout), not column 0 (= feature dim 768)
+            batch["audio_lens"] = batch["audio_shape"][:, -1]
         batch["audio_lens"] = np.asarray(batch["audio_lens"], np.int32)
         if self.task_token_fn is not None:
             ids = np.asarray(

@@ -36,11 +36,31 @@ Params = dict[str, Any]
 # --------------------------------------------------------------- unpickling
 class _RemapUnpickler(pickle.Unpickler):
     """Resolves reference-package class paths onto this package's twins so
-    the checkpoint's pickled tokenizer state loads standalone."""
+    the checkpoint's pickled tokenizer state loads standalone.
+
+    Untrusted-input hardening: everything outside the remap table resolves
+    only through an explicit allowlist of data-shaped classes; any other
+    global (os.system, subprocess, numpy ufuncs, …) raises UnpicklingError
+    instead of executing reduce payloads."""
 
     _MODULE_MAP = {
         "conette.tokenization.aac_tokenizer": "conette_tpu.tokenization.aac_tokenizer",
         "conette.tokenization.normalizers": "conette_tpu.tokenization.normalizers",
+    }
+
+    #: non-conette globals a reference tokenizer-state pickle may contain —
+    #: pure data containers only, nothing with side effects on construction
+    _ALLOWED = {
+        ("builtins", "set"),
+        ("builtins", "frozenset"),
+        ("builtins", "complex"),
+        ("builtins", "bytearray"),
+        ("builtins", "slice"),
+        ("builtins", "range"),
+        ("collections", "OrderedDict"),
+        ("collections", "Counter"),
+        ("torch._utils", "_rebuild_tensor_v2"),
+        ("torch.storage", "_load_from_bytes"),
     }
 
     def find_class(self, module: str, name: str) -> Any:
@@ -49,7 +69,14 @@ class _RemapUnpickler(pickle.Unpickler):
             # unsupported reference internals (word tokenizers, torch refs):
             # return a permissive stub that records its state
             return _StatefulStub
-        return super().find_class(module, name)
+        if module.startswith("conette_tpu.tokenization."):
+            return super().find_class(module, name)
+        if (module, name) in self._ALLOWED or module.startswith("torch.storage"):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"Blocked unpickling of {module}.{name} from checkpoint "
+            "_extra_state_ (not in the conette tokenizer-state allowlist)."
+        )
 
 
 class _StatefulStub:

@@ -320,11 +320,30 @@ class CoNeTTEModel:
     ) -> "CoNeTTEModel":
         path = pretrained_model_name_or_path
         if not os.path.isdir(path):
-            raise FileNotFoundError(
-                f"Model directory {path!r} not found. This build resolves "
-                "checkpoints from local directories (egress-less TPU hosts); "
-                "download the HF snapshot first."
-            )
+            # Hub-name resolution (reference predict.py:93-121 loads
+            # "Labbeti/conette" by name): resolve through
+            # huggingface_hub.snapshot_download when importable and online,
+            # keep the explicit offline error otherwise.
+            resolved = None
+            if not offline and "/" in path and not os.path.exists(path):
+                try:
+                    from huggingface_hub import snapshot_download
+
+                    resolved = snapshot_download(repo_id=path, token=token)
+                except ImportError:
+                    pylog.warning(
+                        "huggingface_hub not installed; cannot resolve "
+                        f"{path!r} as a Hub repo id."
+                    )
+                except Exception as err:
+                    pylog.warning(f"Hub snapshot download failed: {err}")
+            if resolved is None:
+                raise FileNotFoundError(
+                    f"Model directory {path!r} not found and Hub resolution "
+                    "unavailable (offline host or huggingface_hub missing); "
+                    "download the HF snapshot first."
+                )
+            path = resolved
 
         # Train-run directory (reference predict.py:124-178 twin): a run dir
         # with checkpoints/best from conette-train instead of an HF export.
@@ -418,7 +437,10 @@ def _load_torch_state(path: str) -> dict[str, Any] | None:
                 continue
         import torch
 
-        return torch.load(fpath, map_location="cpu", weights_only=False)
+        # weights_only: the state dict + the uint8 _extra_state_ tensor load
+        # fine without arbitrary-code pickle; the _extra_state_ payload is
+        # then unpickled separately through the allowlisted _RemapUnpickler.
+        return torch.load(fpath, map_location="cpu", weights_only=True)
     return None
 
 

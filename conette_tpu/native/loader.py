@@ -75,6 +75,7 @@ _ERROR_MESSAGES = {
     -2: "not a RIFF/WAVE file",
     -3: "unsupported WAV encoding",
     -4: "invalid argument/buffer",
+    -5: "internal decoder error",
 }
 
 

@@ -245,8 +245,10 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         from conette_tpu.parallel.mesh import make_mesh, replicated, batch_sharding
 
         n_dp = n_dev if dp_cfg == "auto" else int(dp_cfg)
+        # no `with mesh:` — all shardings below are explicit NamedShardings
+        # that carry the mesh themselves, so no ambient context is needed
+        # (and nothing leaks at function exit)
         mesh = make_mesh(n_dp, model_parallel=int(tr_cfg.get("model_parallel", 1)))
-        mesh.__enter__()
         repl = replicated(mesh)
         state = jax.device_put(state, repl)
         bsh = batch_sharding(mesh)
@@ -293,6 +295,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     lim_train = tr_cfg.get("limit_train_batches")
     lim_val = tr_cfg.get("limit_val_batches")
     lim_test = tr_cfg.get("limit_test_batches")
+    log_every_n_steps = max(int(tr_cfg.get("log_every_n_steps", 50)), 1)
     rng = jax.random.PRNGKey(seed)
 
     aug_rng = jax.random.fold_in(rng, 7)
@@ -350,13 +353,19 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
                 from conette_tpu.train.optim import ema_update
 
                 ema_params = ema_update(ema_params, state.params, float(ema_decay))
-            if i == 0:
+            # per-step lr/grad-norm logging, throttled to every N steps
+            # (reference LogLRCallback/LogGradNorm are per-step,
+            # callbacks/log.py:16-172; each log forces a host-device sync,
+            # so the cadence is configurable)
+            if global_step % log_every_n_steps == 0 or i == 0:
                 logger.log_metrics(
                     {k: float(v) for k, v in metrics.items()}
                     | {"epoch": epoch, "train/lr": float(lr_schedule(epoch))},
                     step=global_step,
                 )
-            last_train_loss = float(metrics["train/loss"])
+            # keep the loss on device during the epoch: float() here would
+            # force a host sync every step and defeat async dispatch
+            last_train_loss = metrics["train/loss"]
         if cfg.get("debug"):
             import gc
             import random as _random
@@ -368,7 +377,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             )
         # NaN guard (twin of the reference's check_finite EarlyStopping,
         # train.py:188-194)
-        if last_train_loss is not None and not np.isfinite(last_train_loss):
+        if last_train_loss is not None and not np.isfinite(float(last_train_loss)):
             pylog.error(f"Non-finite train loss at epoch {epoch}; stopping early.")
             break
 

@@ -24,6 +24,7 @@ constexpr int kErrOpen = -1;
 constexpr int kErrFormat = -2;
 constexpr int kErrUnsupported = -3;
 constexpr int kErrArg = -4;
+constexpr int kErrInternal = -5;  // exception escaping across the C ABI
 
 struct WavInfo {
   uint16_t format = 0;
@@ -34,7 +35,19 @@ struct WavInfo {
   uint32_t data_size = 0;
 };
 
+int64_t file_size(FILE* f) {
+  const long pos = ftell(f);
+  if (fseek(f, 0, SEEK_END) != 0) return -1;
+  const long end = ftell(f);
+  fseek(f, pos, SEEK_SET);
+  return end;
+}
+
+// All chunk sizes are validated against the real file size before any
+// allocation: a crafted 4 GB chunk header is a format error, not bad_alloc.
 int parse_header(FILE* f, WavInfo* info) {
+  const int64_t fsize = file_size(f);
+  if (fsize < 12) return kErrFormat;
   uint8_t riff[12];
   if (fread(riff, 1, 12, f) != 12) return kErrFormat;
   if (memcmp(riff, "RIFF", 4) != 0 || memcmp(riff + 8, "WAVE", 4) != 0)
@@ -45,19 +58,25 @@ int parse_header(FILE* f, WavInfo* info) {
     if (fread(hdr, 1, 8, f) != 8) break;
     uint32_t size;
     memcpy(&size, hdr + 4, 4);
+    const long chunk_start = ftell(f);
+    if (chunk_start < 0 ||
+        static_cast<int64_t>(size) > fsize - chunk_start)
+      return kErrFormat;
     if (memcmp(hdr, "fmt ", 4) == 0) {
+      if (size < 16) return kErrFormat;  // PCM fmt chunk is >= 16 bytes
       std::vector<uint8_t> fmt(size);
       if (fread(fmt.data(), 1, size, f) != size) return kErrFormat;
       memcpy(&info->format, fmt.data(), 2);
       memcpy(&info->channels, fmt.data() + 2, 2);
       memcpy(&info->sample_rate, fmt.data() + 4, 4);
       memcpy(&info->bits, fmt.data() + 14, 2);
-      if (info->format == 0xFFFE && size >= 26) {
-        memcpy(&info->format, fmt.data() + 24, 2);  // WAVE_FORMAT_EXTENSIBLE
+      if (info->format == 0xFFFE) {  // WAVE_FORMAT_EXTENSIBLE
+        if (size < 26) return kErrFormat;
+        memcpy(&info->format, fmt.data() + 24, 2);
       }
       have_fmt = true;
     } else if (memcmp(hdr, "data", 4) == 0) {
-      info->data_offset = ftell(f);
+      info->data_offset = chunk_start;
       info->data_size = size;
       have_data = true;
       fseek(f, size + (size & 1), SEEK_CUR);
@@ -65,7 +84,11 @@ int parse_header(FILE* f, WavInfo* info) {
       fseek(f, size + (size & 1), SEEK_CUR);
     }
   }
-  return (have_fmt && have_data) ? 0 : kErrFormat;
+  if (!(have_fmt && have_data)) return kErrFormat;
+  if (info->bits == 0 || info->bits % 8 != 0 || info->channels == 0 ||
+      info->sample_rate == 0)
+    return kErrFormat;
+  return 0;
 }
 
 // Decode interleaved samples to float32 in [-1, 1] (torchaudio scaling).
@@ -180,32 +203,22 @@ void resample_mono(const std::vector<float>& x, int orig_freq, int target_freq,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Query: returns 0 and fills (sample_rate, channels, num_frames).
-int conette_wav_info(const char* path, int32_t* sample_rate, int32_t* channels,
-                     int64_t* num_frames) {
+int wav_info_impl(const char* path, int32_t* sample_rate, int32_t* channels,
+                  int64_t* num_frames) {
   FILE* f = fopen(path, "rb");
   if (!f) return kErrOpen;
   WavInfo info;
   int rc = parse_header(f, &info);
   fclose(f);
   if (rc != 0) return rc;
-  if (info.bits == 0 || info.channels == 0) return kErrFormat;
   *sample_rate = static_cast<int32_t>(info.sample_rate);
   *channels = static_cast<int32_t>(info.channels);
   *num_frames = static_cast<int64_t>(info.data_size) / (info.bits / 8) / info.channels;
   return 0;
 }
 
-// Decode + channel-mean + optional resample to target_sr (0 = native rate).
-// Writes at most out_capacity floats to out; returns actual length via
-// out_len. Call conette_wav_info first to size the buffer:
-// capacity >= ceil(num_frames * target_sr / sample_rate) + 16.
-int conette_load_resample_mono(const char* path, int32_t target_sr, float* out,
-                               int64_t out_capacity, int64_t* out_len) {
+int load_resample_mono_impl(const char* path, int32_t target_sr, float* out,
+                            int64_t out_capacity, int64_t* out_len) {
   if (!out || !out_len) return kErrArg;
   FILE* f = fopen(path, "rb");
   if (!f) return kErrOpen;
@@ -252,11 +265,11 @@ int conette_load_resample_mono(const char* path, int32_t target_sr, float* out,
   return 0;
 }
 
-// Standalone resample of a float32 mono buffer (for parity tests).
-int conette_resample(const float* x, int64_t n, int32_t orig_sr,
-                     int32_t target_sr, float* out, int64_t out_capacity,
-                     int64_t* out_len) {
+int resample_impl(const float* x, int64_t n, int32_t orig_sr,
+                  int32_t target_sr, float* out, int64_t out_capacity,
+                  int64_t* out_len) {
   if (!x || !out || !out_len) return kErrArg;
+  if (orig_sr <= 0 || target_sr <= 0) return kErrArg;
   std::vector<float> xin(x, x + n);
   std::vector<float> result;
   resample_mono(xin, orig_sr, target_sr, &result);
@@ -265,6 +278,44 @@ int conette_resample(const float* x, int64_t n, int32_t orig_sr,
   memcpy(out, result.data(), m * sizeof(float));
   *out_len = m;
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Query: returns 0 and fills (sample_rate, channels, num_frames).
+int conette_wav_info(const char* path, int32_t* sample_rate, int32_t* channels,
+                     int64_t* num_frames) {
+  try {
+    return wav_info_impl(path, sample_rate, channels, num_frames);
+  } catch (...) {
+    return kErrInternal;
+  }
+}
+
+// Decode + channel-mean + optional resample to target_sr (0 = native rate).
+// Writes at most out_capacity floats to out; returns actual length via
+// out_len. Call conette_wav_info first to size the buffer:
+// capacity >= ceil(num_frames * target_sr / sample_rate) + 16.
+int conette_load_resample_mono(const char* path, int32_t target_sr, float* out,
+                               int64_t out_capacity, int64_t* out_len) {
+  try {
+    return load_resample_mono_impl(path, target_sr, out, out_capacity, out_len);
+  } catch (...) {
+    return kErrInternal;
+  }
+}
+
+// Standalone resample of a float32 mono buffer (for parity tests).
+int conette_resample(const float* x, int64_t n, int32_t orig_sr,
+                     int32_t target_sr, float* out, int64_t out_capacity,
+                     int64_t* out_len) {
+  try {
+    return resample_impl(x, n, orig_sr, target_sr, out, out_capacity, out_len);
+  } catch (...) {
+    return kErrInternal;
+  }
 }
 
 }  // extern "C"

@@ -209,3 +209,22 @@ def test_flatten_unflatten_roundtrip(tmp_path):
 
 def test_num_frames_helper():
     assert num_frames(320_000, 1024, 320) == 1001
+
+
+def test_remap_unpickler_blocks_arbitrary_globals():
+    """Untrusted _extra_state_ pickles must not execute reduce payloads
+    (ADVICE r1: weights_only + allowlisted unpickler)."""
+    import pickle
+
+    import pytest as _pytest
+
+    from conette_tpu.huggingface.convert import loads_remapped
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("true",))
+
+    with _pytest.raises(pickle.UnpicklingError, match="Blocked unpickling"):
+        loads_remapped(pickle.dumps({"x": Evil()}))

@@ -114,3 +114,27 @@ def test_preprocess_false_path(model):
     outputs = model(audio, preprocess=False, x_shapes=shapes, task="clotho")
     assert len(outputs["cands"]) == 2
     assert "tags" not in outputs
+
+
+def test_from_pretrained_hub_name_resolution(model, saved_dir, monkeypatch):
+    """Hub-style repo ids resolve through huggingface_hub.snapshot_download
+    (reference predict.py:93-121); offline keeps the explicit error."""
+    import sys
+    import types
+
+    hub = types.ModuleType("huggingface_hub")
+    calls = {}
+
+    def snapshot_download(repo_id, token=None):
+        calls["repo"] = repo_id
+        return saved_dir
+
+    hub.snapshot_download = snapshot_download
+    monkeypatch.setitem(sys.modules, "huggingface_hub", hub)
+
+    loaded = CoNeTTEModel.from_pretrained("fake/conette")
+    assert calls["repo"] == "fake/conette"
+    assert loaded.tokenizer.get_vocab_size() == model.tokenizer.get_vocab_size()
+
+    with pytest.raises(FileNotFoundError):
+        CoNeTTEModel.from_pretrained("fake/conette", offline=True)
