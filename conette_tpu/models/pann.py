@@ -179,8 +179,13 @@ def pann_apply(
         if rng is not None
         else [None] * (len(params["blocks"]) + 2)
     )
+    n_blocks = len(params["blocks"])
     for i, block in enumerate(params["blocks"]):
-        x, _ = conv_block(block, x, deterministic=deterministic)
+        # Cnn14-family forwards pool (2,2) on blocks 1-5 and (1,1) on the
+        # final block (cnn14.py:174-184); Cnn10 pools all 4 blocks (2,2)
+        # (models.py:607-700)
+        pool = (1, 1) if (n_blocks == 6 and i == n_blocks - 1) else (2, 2)
+        x, _ = conv_block(block, x, pool_size=pool, deterministic=deterministic)
         x = dropout(rngs[i], x, dropout_p, deterministic)
 
     # (B, T', F', C) → mean over freq
@@ -255,8 +260,23 @@ def build_pann_model(name: str, key: jax.Array | None = None) -> tuple[Params, i
         from conette_tpu.models.pann_zoo import mobilenetv2_init
 
         return mobilenetv2_init(key), 1280
-    if name_l == "cnn14_16k":
-        # same Cnn14 body; the 16 kHz frontend is a LogMelConfig choice
+    if name_l in ("cnn14_16k", "cnn14_8k"):
+        # same Cnn14 body; the 16/8 kHz frontend is a LogMelConfig choice
+        # (models.py:3134-3256 / 3257-3379)
+        return cnn14_init(key), CNN14_CHANNELS[-1]
+    if name_l in ("cnn14_no_specaug", "cnn14_no_dropout", "cnn14_mixup_time_domain"):
+        # identical architecture to Cnn14 (models.py:282-496, 3380-3497);
+        # the differences are train-time behaviors: SpecAugment off,
+        # dropout off (pass dropout_p=0 to pann_apply), mixup applied on the
+        # waveform instead of the spectrogram (train/augment.py handles it)
+        return cnn14_init(key), CNN14_CHANNELS[-1]
+    if name_l == "cnn14_mel32":
+        return cnn14_init(key, n_mels=32), CNN14_CHANNELS[-1]
+    if name_l == "cnn14_mel128":
+        return cnn14_init(key, n_mels=128), CNN14_CHANNELS[-1]
+    if name_l in ("cnn14_decisionlevelmax", "cnn14_decisionlevelavg"):
+        # Cnn14 pytree; the decision-level head lives in
+        # pann_zoo.cnn14_decisionlevel_apply (models.py:3731-3990)
         return cnn14_init(key), CNN14_CHANNELS[-1]
     if name_l in ("leenet11", "leenet24"):
         from conette_tpu.models.pann_zoo import leenet_init
@@ -274,8 +294,109 @@ def build_pann_model(name: str, key: jax.Array | None = None) -> tuple[Params, i
         from conette_tpu.models.pann_zoo import wavegram_logmel_cnn14_init
 
         return wavegram_logmel_cnn14_init(key), 2048
+    if name_l == "wavegram_cnn14":
+        from conette_tpu.models.pann_zoo import wavegram_cnn14_init
+
+        return wavegram_cnn14_init(key), 2048
+    if name_l == "wavegram_logmel128_cnn14":
+        from conette_tpu.models.pann_zoo import wavegram_logmel128_cnn14_init
+
+        return wavegram_logmel128_cnn14_init(key), 2048
+    if name_l in ("res1dnet31", "res1dnet51"):
+        from conette_tpu.models.pann_zoo import res1dnet_init
+
+        return res1dnet_init(key, name_l), 2048
     raise ValueError(
-        f"Unknown PANN model {name!r}. (expected Cnn10, Cnn14, "
-        "Cnn14_DecisionLevelAtt, Cnn6, ResNet22, MobileNetV1 or "
-        "Wavegram_Logmel_Cnn14)"
+        f"Unknown PANN model {name!r}. (expected one of {sorted(PANN_ZOO_NAMES)})"
     )
+
+
+#: the full reference zoo surface (nn/pann_utils/models.py — 42 classes incl.
+#: the emb-dim and frontend variants), all buildable via build_pann_model
+PANN_ZOO_NAMES = frozenset(
+    {
+        "cnn6", "cnn10", "cnn14", "cnn14_16k", "cnn14_8k", "cnn14_mel32",
+        "cnn14_mel128", "cnn14_no_specaug", "cnn14_no_dropout",
+        "cnn14_mixup_time_domain", "cnn14_emb512", "cnn14_emb128",
+        "cnn14_emb32", "cnn14_decisionlevelatt", "cnn14_decisionlevelmax",
+        "cnn14_decisionlevelavg", "resnet22", "resnet38", "resnet54",
+        "res1dnet31", "res1dnet51", "mobilenetv1", "mobilenetv2",
+        "leenet11", "leenet24", "dainet19", "wavegram_cnn14",
+        "wavegram_logmel_cnn14", "wavegram_logmel128_cnn14",
+    }
+)
+
+
+def apply_pann_model(
+    name: str,
+    params: Params,
+    waveform: jax.Array,
+    waveform_lens: jax.Array | None = None,
+    *,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    """Unified forward dispatcher over the whole zoo: every name accepted by
+    ``build_pann_model`` runs through the matching apply with the right
+    frontend config. Mirrors the reference's ``classtype(**kwargs)`` +
+    ``model(input)`` flow (``pann_utils/hub.py:14-56``)."""
+    from conette_tpu.models import pann_zoo as zoo
+
+    name_l = name.lower()
+    kw: dict[str, Any] = dict(
+        deterministic=deterministic, compute_dtype=compute_dtype
+    )
+    if name_l in ("cnn10", "cnn14", "cnn14_decisionlevelatt", "cnn14_att",
+                  "cnn14_emb512", "cnn14_emb128", "cnn14_emb32",
+                  "cnn14_no_specaug", "cnn14_mixup_time_domain"):
+        return pann_apply(params, waveform, waveform_lens, **kw)
+    if name_l == "cnn14_no_dropout":
+        return pann_apply(params, waveform, waveform_lens, dropout_p=0.0, **kw)
+    if name_l == "cnn14_16k":
+        return pann_apply(
+            params, waveform, waveform_lens, logmel_cfg=zoo.PANN_LOGMEL_16K, **kw
+        )
+    if name_l == "cnn14_8k":
+        return pann_apply(
+            params, waveform, waveform_lens, logmel_cfg=zoo.PANN_LOGMEL_8K, **kw
+        )
+    if name_l == "cnn14_mel32":
+        return pann_apply(
+            params, waveform, waveform_lens, logmel_cfg=zoo.PANN_LOGMEL32, **kw
+        )
+    if name_l == "cnn14_mel128":
+        return pann_apply(
+            params, waveform, waveform_lens, logmel_cfg=zoo.PANN_LOGMEL128, **kw
+        )
+    if name_l in ("cnn14_decisionlevelmax", "cnn14_decisionlevelavg"):
+        pooling = "max" if name_l.endswith("max") else "avg"
+        return zoo.cnn14_decisionlevel_apply(
+            params, waveform, waveform_lens, pooling=pooling, **kw
+        )
+    if name_l in ("resnet22", "resnet38"):
+        return zoo.pann_zoo_apply(params, waveform, waveform_lens,
+                                  arch="resnet22", **kw)
+    if name_l == "resnet54":
+        return zoo.resnet54_apply(params, waveform, waveform_lens, **kw)
+    if name_l == "mobilenetv1":
+        return zoo.pann_zoo_apply(params, waveform, waveform_lens,
+                                  arch="mobilenetv1", **kw)
+    if name_l == "mobilenetv2":
+        return zoo.mobilenetv2_apply(params, waveform, waveform_lens, **kw)
+    if name_l == "cnn6":
+        return zoo.cnn6_apply(params, waveform, waveform_lens, **kw)
+    if name_l in ("leenet11", "leenet24"):
+        return zoo.leenet_apply(params, waveform, **kw)
+    if name_l == "dainet19":
+        return zoo.dainet_apply(params, waveform, **kw)
+    if name_l in ("res1dnet31", "res1dnet51"):
+        return zoo.res1dnet_apply(params, waveform, **kw)
+    if name_l == "wavegram_cnn14":
+        return zoo.wavegram_cnn14_apply(params, waveform, **kw)
+    if name_l == "wavegram_logmel_cnn14":
+        return zoo.wavegram_logmel_cnn14_apply(params, waveform, waveform_lens, **kw)
+    if name_l == "wavegram_logmel128_cnn14":
+        return zoo.wavegram_logmel128_cnn14_apply(
+            params, waveform, waveform_lens, **kw
+        )
+    raise ValueError(f"Unknown PANN model {name!r}.")

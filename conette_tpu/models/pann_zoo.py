@@ -751,3 +751,308 @@ def resnet54_apply(
         "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
         "embedding": h,
     }
+
+
+# ----------------------------------------------------- Res1dNet31 / Res1dNet51
+def _wav1d_block_init(key: jax.Array, inplanes: int, planes: int, stride: int) -> Params:
+    """_ResnetBasicBlockWav1d twin (models.py:2404-2470): two bias-free k3
+    conv1ds (second dilated 2), BN2 weight zero-init; stride realized as a
+    leading max-pool; downsample = [avgpool +] conv1x1 + BN."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    p: Params = {
+        "conv1": _conv1d_init(k1, inplanes, planes, 3),
+        "bn1": batch_norm_init(planes),
+        "conv2": _conv1d_init(k2, planes, planes, 3),
+        "bn2": dict(batch_norm_init(planes), weight=jnp.zeros((planes,), jnp.float32)),
+        "stride": stride,
+    }
+    if stride != 1 or inplanes != planes:
+        p["downsample"] = {
+            "conv": _conv1d_init(k3, inplanes, planes, 1),
+            "bn": batch_norm_init(planes),
+        }
+    return p
+
+
+def _avg_pool1d(x: jax.Array, k: int) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, 1), (1, k, 1), "VALID"
+    ) / k
+
+
+def _wav1d_block(p: Params, x: jax.Array, deterministic: bool) -> jax.Array:
+    out = _max_pool1d(x, p["stride"]) if p["stride"] != 1 else x
+    out = jax.nn.relu(_bn(p["bn1"], _conv1d(p["conv1"], out, padding=1), deterministic))
+    # (reference applies dropout 0.1 here in training; inference path omits it)
+    out = _bn(p["bn2"], _conv1d(p["conv2"], out, padding=2, dilation=2), deterministic)
+    identity = x
+    if "downsample" in p:
+        if p["stride"] != 1:
+            identity = _avg_pool1d(identity, p["stride"])
+        identity = _bn(
+            p["downsample"]["bn"], _conv1d(p["downsample"]["conv"], identity),
+            deterministic,
+        )
+    return jax.nn.relu(out + identity)
+
+
+_RES1D_PLANES = (64, 128, 256, 512, 1024, 1024, 2048)
+_RES1D_STRIDES = (1, 4, 4, 4, 4, 4, 4)
+_RES1D_DEPTHS = {
+    "res1dnet31": (2, 2, 2, 2, 2, 2, 2),  # models.py:2576-2635
+    "res1dnet51": (2, 3, 4, 6, 4, 3, 2),  # models.py:2638-2700
+}
+
+
+def res1dnet_init(key: jax.Array, variant: str = "res1dnet31",
+                  num_classes: int = NUM_CLASSES) -> Params:
+    """Raw-waveform 1d ResNet (Res1dNet31/51): bias-free conv0 k11 s5 p5 +
+    BN, 7 stages of wav1d basic blocks, 2048-d max+mean head."""
+    depths = _RES1D_DEPTHS[variant]
+    keys = iter(jax.random.split(key, 4 + sum(depths)))
+    params: Params = {
+        "conv0": _conv1d_init(next(keys), 1, 64, 11),
+        "bn0": batch_norm_init(64),
+        "layers": [],
+        "fc1": linear_init(next(keys), 2048, 2048, init="torch"),
+        "fc_audioset": linear_init(next(keys), 2048, num_classes, init="torch"),
+    }
+    inplanes = 64
+    for planes, stride, blocks in zip(_RES1D_PLANES, _RES1D_STRIDES, depths):
+        stage = [_wav1d_block_init(next(keys), inplanes, planes, stride)]
+        inplanes = planes
+        for _ in range(1, blocks):
+            stage.append(_wav1d_block_init(next(keys), inplanes, planes, 1))
+        params["layers"].append(stage)
+    return params
+
+
+def res1dnet_apply(
+    params: Params,
+    waveform: jax.Array,
+    *,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    x = waveform[:, :, None].astype(compute_dtype)
+    x = _bn(params["bn0"], _conv1d(params["conv0"], x, stride=5, padding=5),
+            deterministic)
+    for stage in params["layers"]:
+        for block in stage:
+            x = _wav1d_block(block, x, deterministic)
+    frames = x.astype(jnp.float32)  # (B, T', 2048)
+    h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+    h = jax.nn.relu(linear(params["fc1"], h))
+    return {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),
+        "frame_embs_lens": jnp.full((x.shape[0],), frames.shape[1], jnp.int32),
+        "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
+        "embedding": h,
+    }
+
+
+# -------------------------------------------------------------- Wavegram_Cnn14
+def wavegram_cnn14_init(key: jax.Array, num_classes: int = NUM_CLASSES) -> Params:
+    """Wavegram-only Cnn14 (models.py:2743-2860): the log-mel branch's
+    conv_block1 exists in the torch checkpoint but is unused in forward —
+    kept in the pytree for converter fidelity."""
+    keys = iter(jax.random.split(key, 14))
+    channels = [(64, 128), (128, 256), (256, 512), (512, 1024), (1024, 2048)]
+    return {
+        "pre_conv0": _conv1d_init(next(keys), 1, 64, 11),
+        "pre_bn0": batch_norm_init(64),
+        "pre_block1": _pre_wav_block_init(next(keys), 64, 64),
+        "pre_block2": _pre_wav_block_init(next(keys), 64, 128),
+        "pre_block3": _pre_wav_block_init(next(keys), 128, 128),
+        "pre_block4": conv_block_init(next(keys), 4, 64),
+        "bn0": batch_norm_init(64),  # declared in torch; unused in forward
+        "conv_block1": conv_block_init(next(keys), 1, 64),  # unused in forward
+        "blocks": [conv_block_init(next(keys), i, o) for i, o in channels],
+        "fc1": linear_init(next(keys), 2048, 2048, init="torch"),
+        "fc_audioset": linear_init(next(keys), 2048, num_classes, init="torch"),
+    }
+
+
+def wavegram_cnn14_apply(
+    params: Params,
+    waveform: jax.Array,
+    *,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    b = waveform.shape[0]
+    a = waveform[:, :, None].astype(compute_dtype)
+    a = jax.nn.relu(
+        _bn(params["pre_bn0"], _conv1d(params["pre_conv0"], a, stride=5, padding=5),
+            deterministic)
+    )
+    a = _pre_wav_block(params["pre_block1"], a, 4, deterministic)
+    a = _pre_wav_block(params["pre_block2"], a, 4, deterministic)
+    a = _pre_wav_block(params["pre_block3"], a, 4, deterministic)
+    t = a.shape[1]
+    a = a.reshape(b, t, 4, 32).transpose(0, 1, 3, 2)  # (B, T, 32, 4)
+    x, _ = conv_block(params["pre_block4"], a, pool_size=(2, 1),
+                      deterministic=deterministic)  # (B, T/2, 32, 64)
+    for block in params["blocks"][:-1]:
+        x, _ = conv_block(block, x, deterministic=deterministic)
+    x, _ = conv_block(params["blocks"][-1], x, pool_size=(1, 1),
+                      deterministic=deterministic)
+    frames = jnp.mean(x.astype(jnp.float32), axis=2)
+    h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+    h = jax.nn.relu(linear(params["fc1"], h))
+    return {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),
+        "frame_embs_lens": jnp.full((b,), frames.shape[1], jnp.int32),
+        "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
+        "embedding": h,
+    }
+
+
+# ---------------------------------------------------- Wavegram_Logmel128_Cnn14
+PANN_LOGMEL128 = LogMelConfig(n_mels=128)
+PANN_LOGMEL32 = LogMelConfig(n_mels=32)
+PANN_LOGMEL_16K = LogMelConfig(
+    sample_rate=16_000, n_fft=512, hop_length=160, n_mels=64, fmax=8_000.0
+)
+PANN_LOGMEL_8K = LogMelConfig(
+    sample_rate=8_000, n_fft=256, hop_length=80, n_mels=64, fmax=4_000.0
+)
+
+
+def wavegram_logmel128_cnn14_init(
+    key: jax.Array, num_classes: int = NUM_CLASSES
+) -> Params:
+    """128-mel dual-branch variant (models.py:2988-3133). The wavegram
+    reshape groups the 128 pre-branch channels as 2×64 "freqs" (the torch
+    class declares pre_block4 with in_channels=4, which cannot run with that
+    reshape — we use the runtime-consistent 2)."""
+    keys = iter(jax.random.split(key, 16))
+    channels = [(1, 64), (128, 128), (128, 256), (256, 512), (512, 1024), (1024, 2048)]
+    return {
+        "pre_conv0": _conv1d_init(next(keys), 1, 64, 11),
+        "pre_bn0": batch_norm_init(64),
+        "pre_block1": _pre_wav_block_init(next(keys), 64, 64),
+        "pre_block2": _pre_wav_block_init(next(keys), 64, 128),
+        "pre_block3": _pre_wav_block_init(next(keys), 128, 128),
+        "pre_block4": conv_block_init(next(keys), 2, 64),
+        "bn0": batch_norm_init(128),
+        "blocks": [conv_block_init(next(keys), i, o) for i, o in channels],
+        "fc1": linear_init(next(keys), 2048, 2048, init="torch"),
+        "fc_audioset": linear_init(next(keys), 2048, num_classes, init="torch"),
+    }
+
+
+def wavegram_logmel128_cnn14_apply(
+    params: Params,
+    waveform: jax.Array,
+    waveform_lens: jax.Array | None = None,
+    *,
+    logmel_cfg: LogMelConfig = PANN_LOGMEL128,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> dict[str, jax.Array]:
+    b = waveform.shape[0]
+    a = waveform[:, :, None].astype(compute_dtype)
+    a = jax.nn.relu(
+        _bn(params["pre_bn0"], _conv1d(params["pre_conv0"], a, stride=5, padding=5),
+            deterministic)
+    )
+    a = _pre_wav_block(params["pre_block1"], a, 4, deterministic)
+    a = _pre_wav_block(params["pre_block2"], a, 4, deterministic)
+    a = _pre_wav_block(params["pre_block3"], a, 4, deterministic)
+    t = a.shape[1]
+    a = a.reshape(b, t, 2, 64).transpose(0, 1, 3, 2)  # (B, T, 64, 2)
+    a, _ = conv_block(params["pre_block4"], a, pool_size=(2, 1),
+                      deterministic=deterministic)  # (B, T/2, 64, 64)
+
+    mel = logmel_spectrogram(waveform, logmel_cfg, compute_dtype=compute_dtype)
+    mel = _bn(params["bn0"], mel, deterministic)
+    x = mel[..., None].astype(compute_dtype)
+    x, _ = conv_block(params["blocks"][0], x, deterministic=deterministic)
+
+    t_min = min(x.shape[1], a.shape[1])
+    f_min = min(x.shape[2], a.shape[2])
+    x = jnp.concatenate([x[:, :t_min, :f_min], a[:, :t_min, :f_min]], axis=-1)
+
+    for block in params["blocks"][1:-1]:
+        x, _ = conv_block(block, x, deterministic=deterministic)
+    x, _ = conv_block(params["blocks"][-1], x, pool_size=(1, 1),
+                      deterministic=deterministic)
+
+    frames = jnp.mean(x.astype(jnp.float32), axis=2)
+    n_out = frames.shape[1]
+    reduction = max(waveform.shape[-1] // max(n_out, 1), 1)
+    if waveform_lens is None:
+        lens = jnp.full((b,), n_out, jnp.int32)
+    else:
+        lens = jnp.round(waveform_lens.astype(jnp.float32) / reduction).astype(jnp.int32)
+    h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
+    h = jax.nn.relu(linear(params["fc1"], h))
+    return {
+        "frame_embs": jnp.swapaxes(frames, 1, 2),
+        "frame_embs_lens": lens,
+        "clipwise_output": jax.nn.sigmoid(linear(params["fc_audioset"], h)),
+        "embedding": h,
+    }
+
+
+# ------------------------------------------------ Cnn14_DecisionLevelMax / Avg
+def _pool1d_same(x: jax.Array, kind: str, k: int = 3) -> jax.Array:
+    """k3 s1 p1 max/avg pool over the time axis of (B, T, C)."""
+    pad = [(0, 0), (k // 2, k // 2), (0, 0)]
+    if kind == "max":
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, k, 1), (1, 1, 1), pad
+        )
+    # torch avg_pool1d(count_include_pad=True) divides by k everywhere
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, 1), (1, 1, 1), pad
+    ) / k
+
+
+def cnn14_decisionlevel_apply(
+    params: Params,
+    waveform: jax.Array,
+    waveform_lens: jax.Array | None = None,
+    *,
+    pooling: str = "max",
+    logmel_cfg: LogMelConfig = PANN_LOGMEL,
+    deterministic: bool = True,
+    compute_dtype: jnp.dtype = jnp.float32,
+    interpolate_ratio: int = 32,
+) -> dict[str, jax.Array]:
+    """Cnn14_DecisionLevelMax/Avg (models.py:3731-3858 / 3859-3990): Cnn14
+    body → segmentwise k3 max+avg smoothing → framewise sigmoid head;
+    clip = max (or mean) over segments; framewise output upsampled ×32 and
+    padded to the spectrogram frame count. Params = ``cnn14_init``."""
+    from conette_tpu.models.pann import pann_apply  # body reuse (same pytree)
+
+    mel_frames = waveform.shape[-1] // logmel_cfg.hop_length + 1
+    body = pann_apply(
+        params, waveform, waveform_lens, logmel_cfg=logmel_cfg,
+        deterministic=deterministic, compute_dtype=compute_dtype,
+    )
+    frames = jnp.swapaxes(body["frame_embs"], 1, 2)  # (B, T', 2048)
+    x = _pool1d_same(frames, "max") + _pool1d_same(frames, "avg")
+    h = jax.nn.relu(linear(params["fc1"], x))
+    segmentwise = jax.nn.sigmoid(linear(params["fc_audioset"], h))  # (B,T',cls)
+    if pooling == "max":
+        clip = jnp.max(segmentwise, axis=1)
+    elif pooling == "avg":
+        clip = jnp.mean(segmentwise, axis=1)
+    else:
+        raise ValueError(f"Invalid {pooling=} (expected 'max' or 'avg').")
+    # interpolate (repeat ×ratio) + pad with the last frame to mel_frames
+    up = jnp.repeat(segmentwise, interpolate_ratio, axis=1)
+    if up.shape[1] < mel_frames:
+        tail = jnp.repeat(up[:, -1:], mel_frames - up.shape[1], axis=1)
+        up = jnp.concatenate([up, tail], axis=1)
+    else:
+        up = up[:, :mel_frames]
+    return {
+        "frame_embs": body["frame_embs"],
+        "frame_embs_lens": body["frame_embs_lens"],
+        "clipwise_output": clip,
+        "framewise_output": up,
+        "embedding": jnp.max(h, axis=1),
+    }

@@ -50,23 +50,41 @@ CNEXT_REGISTRY: dict[str, RegistryEntry] = {
     ),
 }
 
+# The reference's PANN_REGISTRY ships exactly 9 checkpoints with md5s
+# (nn/ckpt.py:38-113); MobileNetV1/V2 and Cnn14_16k are extra public PANN
+# Zenodo files kept for zoo coverage (hashes unknown here → None).
 PANN_REGISTRY: dict[str, RegistryEntry] = {
     name: RegistryEntry(
         name=name,
         architecture=arch,
         url=f"https://zenodo.org/record/3987831/files/{fname}?download=1",
         fname=fname,
+        hash_value=md5,
     )
-    for name, arch, fname in [
-        ("Cnn10", "Cnn10", "Cnn10_mAP=0.380.pth"),
-        ("Cnn14", "Cnn14", "Cnn14_mAP=0.431.pth"),
-        ("Cnn14_16k", "Cnn14_16k", "Cnn14_16k_mAP=0.438.pth"),
-        ("Cnn14_DecisionLevelAtt", "Cnn14_DecisionLevelAtt", "Cnn14_DecisionLevelAtt_mAP=0.425.pth"),
-        ("Cnn6", "Cnn6", "Cnn6_mAP=0.343.pth"),
-        ("MobileNetV1", "MobileNetV1", "MobileNetV1_mAP=0.389.pth"),
-        ("MobileNetV2", "MobileNetV2", "MobileNetV2_mAP=0.383.pth"),
-        ("ResNet22", "ResNet22", "ResNet22_mAP=0.430.pth"),
-        ("Wavegram_Logmel_Cnn14", "Wavegram_Logmel_Cnn14", "Wavegram_Logmel_Cnn14_mAP=0.439.pth"),
+    for name, arch, fname, md5 in [
+        ("Cnn10", "Cnn10", "Cnn10_mAP=0.380.pth",
+         "bfb1f1f9968938fa8ef4012b8471f5f6"),
+        ("Cnn14", "Cnn14", "Cnn14_mAP=0.431.pth",
+         "541141fa2ee191a88f24a3219fff024e"),
+        ("Cnn14_16k", "Cnn14_16k", "Cnn14_16k_mAP=0.438.pth", None),
+        ("Cnn14_DecisionLevelAtt", "Cnn14_DecisionLevelAtt",
+         "Cnn14_DecisionLevelAtt_mAP=0.425.pth",
+         "c8281ca2b9967244b91d557aa941e8ca"),
+        ("Cnn6", "Cnn6", "Cnn6_mAP=0.343.pth",
+         "e25e26b84585b14c7754c91e48efc9be"),
+        ("MobileNetV1", "MobileNetV1", "MobileNetV1_mAP=0.389.pth", None),
+        ("MobileNetV2", "MobileNetV2", "MobileNetV2_mAP=0.383.pth", None),
+        ("ResNet22", "ResNet22", "ResNet22_mAP=0.430.pth",
+         "cf36d413096793c4e15dc752a3abd599"),
+        ("ResNet38", "ResNet38", "ResNet38_mAP=0.434.pth",
+         "bf12f36aaabac4e0855e22d3c3239c1b"),
+        ("ResNet54", "ResNet54", "ResNet54_mAP=0.429.pth",
+         "4f1f1406d37a29e2379916885e18c5f3"),
+        ("Wavegram_Cnn14", "Wavegram_Cnn14", "Wavegram_Cnn14_mAP=0.389.pth",
+         "1e3506ab640371e0b5a417b15fd66d21"),
+        ("Wavegram_Logmel_Cnn14", "Wavegram_Logmel_Cnn14",
+         "Wavegram_Logmel_Cnn14_mAP=0.439.pth",
+         "17fa9ab65af3c0eb5ffbc5f65552c4e1"),
     ]
 }
 
@@ -93,7 +111,7 @@ def load_registry_encoder(name: str, ckpt_dir: str | None = None) -> Any:
 
     from conette_tpu.huggingface.convert import convert_convnext
 
-    state = torch.load(fpath, map_location="cpu", weights_only=False)
+    state = torch.load(fpath, map_location="cpu", weights_only=True)
     entry = CNEXT_REGISTRY[name]
     if entry.state_dict_key and entry.state_dict_key in state:
         state = state[entry.state_dict_key]
