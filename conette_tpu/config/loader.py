@@ -84,6 +84,16 @@ def _load_yaml(fpath: str) -> dict:
 
 
 def _load_group(conf_dir: str, group: str, option: str) -> dict:
+    """Load ``{group}/{option}.yaml``, composing the option file's own
+    ``defaults`` list (hydra-style in-group composition):
+
+    - a plain string entry names a sibling option of the same group, merged
+      before the file body (e.g. trainer/lim2 builds on trainer/fit_test);
+    - a ``{subgroup: option}`` entry selects ``{group}/{subgroup}/{option}``
+      into key ``subgroup`` (e.g. trainer/plugins: slurm);
+    - ``override /...`` entries are global-scope (expt) directives and are
+      ignored at group scope (handled by ``_apply_expt``).
+    """
     fpath = os.path.join(conf_dir, group, f"{option}.yaml")
     if not os.path.isfile(fpath):
         avail = []
@@ -94,7 +104,66 @@ def _load_group(conf_dir: str, group: str, option: str) -> dict:
             f"Unknown option {option!r} for config group {group!r}. "
             f"(available: {avail})"
         )
-    return _load_yaml(fpath)
+    body = _load_yaml(fpath)
+    defaults = body.pop("defaults", [])
+    cfg: dict = {}
+    for entry in defaults:
+        if isinstance(entry, str):
+            if entry == "_self_":
+                cfg = merge_dicts(cfg, body)
+                body = {}
+            else:
+                cfg = merge_dicts(cfg, _load_group(conf_dir, group, entry))
+            continue
+        (key, sub_option), = entry.items()
+        if key.startswith("override "):
+            continue
+        if sub_option in (None, "none") and not os.path.isfile(
+            os.path.join(conf_dir, group, key, "none.yaml")
+        ):
+            cfg.setdefault(key, None)
+            continue
+        cfg[key] = merge_dicts(
+            cfg.get(key) or {},
+            _load_group(conf_dir, os.path.join(group, key), str(sub_option)),
+        )
+    return merge_dicts(cfg, body)
+
+
+def _apply_expt(conf_dir: str, cfg: dict, option: str) -> dict:
+    """Apply an expt preset (hydra ``@package _global_`` semantics,
+    reference ``conf/expt/*.yaml``): recursive sibling defaults (the hp_*
+    hyperparameter packs), ``override /group[@path]: option`` selections,
+    then the preset body merged into the global config."""
+    fpath = os.path.join(conf_dir, "expt", f"{option}.yaml")
+    if not os.path.isfile(fpath):
+        gdir = os.path.join(conf_dir, "expt")
+        avail = sorted(
+            f[:-5] for f in os.listdir(gdir) if f.endswith(".yaml")
+        ) if os.path.isdir(gdir) else []
+        raise FileNotFoundError(
+            f"Unknown expt preset {option!r}. (available: {avail})"
+        )
+    body = _load_yaml(fpath)
+    defaults = body.pop("defaults", [])
+    for entry in defaults:
+        if isinstance(entry, str):
+            if entry != "_self_":
+                cfg = _apply_expt(conf_dir, cfg, entry)  # sibling hp pack
+            continue
+        (key, sub_option), = entry.items()
+        if not key.startswith("override "):
+            # non-override entry inside an expt = sibling preset reference
+            cfg = _apply_expt(conf_dir, cfg, str(sub_option))
+            continue
+        target = key.removeprefix("override ").lstrip("/")
+        group, _, path = target.partition("@")
+        loaded = _load_group(conf_dir, group, str(sub_option))
+        if path:
+            _set_path(cfg, path, merge_dicts(DotDict(cfg).get_path(path) or {}, loaded))
+        else:
+            cfg[group] = merge_dicts(cfg.get(group) or {}, loaded)
+    return merge_dicts(cfg, body)
 
 
 def load_config(
@@ -122,28 +191,50 @@ def load_config(
             if entry == "_self_":
                 cfg = merge_dicts(cfg, root)
             continue
-        (group, option), = entry.items()
-        if group == "expt":
+        (group_key, option), = entry.items()
+        if group_key == "expt":
             continue  # expt applies last
-        option = group_sel.pop(group, option)
-        if option in (None, "none"):
-            cfg.setdefault(group, {})
+        # `group@path` packages the group option under a config path
+        # (reference root defaults: `audio_t@audio_t.train: spec_aug_ratio_emb`,
+        # `tok@train_tok: spacy`)
+        group, _, pkg_path = group_key.partition("@")
+        option = group_sel.pop(group_key, group_sel.pop(group, option) if not pkg_path else option)
+        if option in (None, "none") and not os.path.isfile(
+            os.path.join(conf_dir, group, "none.yaml")
+        ):
+            if pkg_path:
+                _set_path(cfg, pkg_path, {})
+            else:
+                cfg.setdefault(group, {})
             continue
-        cfg[group] = merge_dicts(cfg.get(group, {}), _load_group(conf_dir, group, option))
+        loaded = _load_group(conf_dir, group, str(option))
+        if pkg_path:
+            _set_path(
+                cfg, pkg_path,
+                merge_dicts(DotDict(cfg).get_path(pkg_path) or {}, loaded),
+            )
+        else:
+            cfg[group] = merge_dicts(cfg.get(group, {}), loaded)
     if "_self_" not in [e for e in defaults if isinstance(e, str)]:
         cfg = merge_dicts(cfg, root)
 
     # remaining group selections not in the defaults list
-    for group, option in group_sel.items():
-        cfg[group] = merge_dicts(
-            cfg.get(group, {}), _load_group(conf_dir, group, str(option))
-        )
+    for group_key, option in group_sel.items():
+        group, _, pkg_path = group_key.partition("@")
+        loaded = _load_group(conf_dir, group, str(option))
+        if pkg_path:
+            _set_path(
+                cfg, pkg_path,
+                merge_dicts(DotDict(cfg).get_path(pkg_path) or {}, loaded),
+            )
+        else:
+            cfg[group] = merge_dicts(cfg.get(group, {}), loaded)
 
-    # expt presets (flat overrides onto the composed config), applied last
+    # expt presets (hydra @package _global_ semantics), applied last
     if expt_sel is not None:
         presets = expt_sel if isinstance(expt_sel, list) else [expt_sel]
         for preset in presets:
-            cfg = merge_dicts(cfg, _load_group(conf_dir, "expt", str(preset)))
+            cfg = _apply_expt(conf_dir, cfg, str(preset))
 
     for key, value in key_over.items():
         _set_path(cfg, key, value)

@@ -71,10 +71,16 @@ def rank_tag() -> str:
 def gather_to_host0(x: Any) -> np.ndarray | None:
     """Gather a (possibly sharded) array's full value onto host 0; returns
     None on other hosts. Scoring (SPICE/FENSE subprocesses) then runs on
-    host 0 only, mirroring the reference's single-rank eval."""
+    host 0 only, mirroring the reference's single-rank eval.
+
+    Batch-sharded global arrays are gathered tiled (concatenated along
+    axis 0 — each host's rows in order); fully-replicated/host-local values
+    are read directly (a tiled gather would duplicate them)."""
     from jax.experimental import multihost_utils
 
     if jax.process_count() == 1:
         return np.asarray(x)
-    gathered = multihost_utils.process_allgather(x)
+    if isinstance(x, jax.Array) and x.is_fully_replicated:
+        return np.asarray(x) if is_main_process() else None
+    gathered = multihost_utils.process_allgather(x, tiled=True)
     return np.asarray(gathered) if is_main_process() else None

@@ -213,3 +213,31 @@ def _opt_state_to_tree(opt_state: Any) -> Any:
     if isinstance(opt_state, dict):
         return {k: _opt_state_to_tree(v) for k, v in opt_state.items()}
     return opt_state
+
+
+def restore_opt_state(opt_state_flat: dict[str, Any], template: Any) -> Any:
+    """Map a flattened ``opt_state.npz`` payload back onto a freshly
+    initialized optax state of the same structure (resume-with-momentum).
+    The template (``tx.init(params)``) provides the namedtuple skeleton;
+    leaves are replaced positionally by flattened path."""
+    import jax
+
+    tree = _opt_state_to_tree(template)
+    flat_template = flatten_pytree(tree)
+    missing = sorted(set(flat_template) - set(opt_state_flat))
+    extra = sorted(set(opt_state_flat) - set(flat_template))
+    if missing or extra:
+        raise ValueError(
+            f"opt_state mismatch: missing={missing[:5]} extra={extra[:5]} "
+            "(optimizer config changed since the checkpoint was written?)"
+        )
+    # rebuild values in the template's leaf order, then unflatten onto the
+    # original (namedtuple-typed) structure
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    tree_leaves, _ = jax.tree_util.tree_flatten(tree)
+    flat_items = flatten_pytree(tree)
+    # positional alignment: flatten_pytree over the dict-ified tree yields
+    # leaves in the same order as tree_flatten of that dict tree
+    assert len(tree_leaves) == len(leaves)
+    ordered = [opt_state_flat[k] for k in flat_items.keys()]
+    return jax.tree_util.tree_unflatten(treedef, ordered)

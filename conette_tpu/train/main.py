@@ -38,9 +38,27 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     cfg = load_config("train", argv)
 
     # ------------------------------------------------------------ 1/6 setup
-    logging.basicConfig(level=logging.INFO, format="%(levelname)s | %(message)s")
     import jax
     import jax.numpy as jnp
+
+    # multi-host init first (SLURM/JAX_* env; no-op single-process) so all
+    # later device queries see the global topology — the reference's
+    # SLURMEnvironment + DDP plumbing twin (train.py:413-433)
+    from conette_tpu.parallel.distributed import (
+        initialize as dist_initialize,
+        is_main_process,
+        rank_tag,
+    )
+
+    dist_initialize()
+    logging.basicConfig(
+        level=logging.INFO,
+        format=(
+            f"%(levelname)s | {rank_tag()} | %(message)s"
+            if jax.process_count() > 1
+            else "%(levelname)s | %(message)s"
+        ),
+    )
 
     if cfg.get("debug"):
         jax.config.update("jax_debug_nans", True)
@@ -151,7 +169,36 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     tr_cfg = cfg.get("trainer", {})
     aug_name = dm_cfg.get("train_audio_transform", "none")
     spec_aug_fn = None
-    if aug_name == "spec_augment_ratio":
+    # audio_t.train group (reference conf/audio_t/spec_aug[_ratio]_emb.yaml,
+    # packaged by the root defaults / hp expt packs) takes precedence over
+    # the legacy dm.train_audio_transform switch
+    aug_cfg = dict(cfg.get("audio_t", {}).get("train") or {})
+    target = str(aug_cfg.get("_target_", ""))
+    if target.endswith("SpecAugmentRatio"):
+        import functools
+
+        from conette_tpu.train.augment import spec_augment_ratio
+
+        spec_aug_fn = functools.partial(
+            spec_augment_ratio,
+            time_drop_ratio=float(tuple(aug_cfg.get("time_ratios", (0, 0.1)))[-1]),
+            time_stripes_num=int(aug_cfg.get("time_stripes_num", 2)),
+            freq_drop_ratio=float(tuple(aug_cfg.get("freq_ratios", (0, 0.1)))[-1]),
+            freq_stripes_num=int(aug_cfg.get("freq_stripes_num", 2)),
+        )
+    elif target.endswith("SpecAugment"):
+        import functools
+
+        from conette_tpu.train.augment import spec_augment
+
+        spec_aug_fn = functools.partial(
+            spec_augment,
+            time_drop_width=int(aug_cfg.get("time_max_width", 64)),
+            time_stripes_num=int(aug_cfg.get("time_stripes_num", 2)),
+            freq_drop_width=int(aug_cfg.get("freq_max_width", 28)),
+            freq_stripes_num=int(aug_cfg.get("freq_stripes_num", 2)),
+        )
+    elif aug_name == "spec_augment_ratio":
         from conette_tpu.train.augment import spec_augment_ratio
 
         spec_aug_fn = spec_augment_ratio
@@ -163,7 +210,9 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     pylog.info(f"Model csum at start: {csum_module(params)}")
     logger.log_hyperparams({"start_csum": csum_module(params)})
 
-    # resume (weight-only warm start)
+    # resume (weight warm start; optimizer momentum restored further down
+    # once the optax state skeleton exists)
+    resumed_opt_flat = None
     if cfg.get("resume"):
         from conette_tpu.train.checkpoint import load_checkpoint
         from conette_tpu.huggingface.convert import flatten_pytree, unflatten_pytree
@@ -172,22 +221,28 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         flat = flatten_pytree(params)
         flat.update(flatten_pytree(loaded["params"]))
         params = unflatten_pytree(flat)
+        if cfg.get("resume_opt_state", True) and not cfg.get("ign_weights"):
+            resumed_opt_flat = loaded.get("opt_state_flat")
         pylog.info(f"Resumed weights from {cfg['resume']} (csum {csum_module(params)})")
 
     from conette_tpu.train.optim import get_optimizer
     from conette_tpu.train.step import TrainState, init_train_state
 
     max_epochs = int(tr_cfg.get("max_epochs", 400))
+    base_lr = float(pl_cfg.get("lr", 5e-4))
+    sched_name = pl_cfg.get("sched_name", "cos_decay")
+    sched_kwargs = dict(pl_cfg.get("sched_kwargs", {}))
     tx, _ = get_optimizer(
         params,
         optim_name=pl_cfg.get("optim_name", "AdamW"),
-        lr=float(pl_cfg.get("lr", 5e-4)),
+        lr=base_lr,
         weight_decay=float(pl_cfg.get("weight_decay", 2.0)),
         betas=tuple(pl_cfg.get("betas", (0.9, 0.999))),
         eps=float(pl_cfg.get("eps", 1e-8)),
         use_custom_wd=bool(pl_cfg.get("use_custom_wd", True)),
-        sched_name=pl_cfg.get("sched_name", "cos_decay"),
+        sched_name=sched_name,
         sched_n_steps=max_epochs,
+        sched_kwargs=sched_kwargs,
     )
     # ------------------------------------------------------------ 4/6 fit
     import optax
@@ -196,18 +251,50 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
     state = init_train_state(params, tx)
+    if resumed_opt_flat is not None:
+        from conette_tpu.train.checkpoint import restore_opt_state
+
+        try:
+            state = TrainState(
+                state.params,
+                restore_opt_state(resumed_opt_flat, state.opt_state),
+                int(loaded["meta"].get("global_step", loaded["meta"].get("step", 0))),
+            )
+            pylog.info("Restored optimizer state (resume with momentum).")
+        except ValueError as err:
+            pylog.warning(f"Could not restore optimizer state: {err}")
 
     # optional EMA of weights (reference's optional EMA callback twin)
     ema_decay = tr_cfg.get("ema_decay")
     ema_params = params if ema_decay else None
 
-    # per-epoch LR logging (LogLRCallback twin, callbacks/log.py:16-60)
-    from conette_tpu.train.optim import get_schedule
+    # optional SWA (reference's optional StochasticWeightAveraging callback,
+    # train.py:167-280 assembly): average snapshots from swa_start onwards
+    swa_start_cfg = tr_cfg.get("swa_start")
+    swa_start = None
+    if swa_start_cfg is not None:
+        swa_start = (
+            int(float(swa_start_cfg) * max_epochs)
+            if isinstance(swa_start_cfg, float) or float(swa_start_cfg) < 1
+            else int(swa_start_cfg)
+        )
+    swa_params = None
+    swa_n = 0
 
-    lr_schedule = get_schedule(
-        pl_cfg.get("sched_name", "cos_decay"), float(pl_cfg.get("lr", 5e-4)),
-        max_epochs,
-    )
+    # reduce-on-plateau: host-side factor injected into the optimizer lr
+    from conette_tpu.train.optim import ReduceLROnPlateau, get_schedule
+
+    plateau = None
+    if str(sched_name).lower() in ("reduce_lr_on_plateau", "reducelronplateau"):
+        plateau = ReduceLROnPlateau(
+            mode=sched_kwargs.get("mode", "min"),
+            factor=sched_kwargs.get("factor", 0.1),
+            patience=sched_kwargs.get("patience", 10),
+        )
+        lr_schedule = lambda step: base_lr * plateau.factor  # noqa: E731
+    else:
+        # per-epoch LR logging (LogLRCallback twin, callbacks/log.py:16-60)
+        lr_schedule = get_schedule(sched_name, base_lr, max_epochs, **sched_kwargs)
 
     from conette_tpu.train.objective import training_loss, validation_loss
 
@@ -228,14 +315,20 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             {"train/loss": loss, "train/grad_norm": optax.global_norm(grads)},
         )
 
-    # Data-parallel over the local mesh when >1 device (the reference's DDP
+    # Data-parallel over the device mesh when >1 device (the reference's DDP
     # twin: XLA inserts the gradient all-reduce over the `data` axis).
+    # Multi-host: the mesh spans ALL processes' devices; each host feeds its
+    # local rows and the global batch is assembled per-process
+    # (global bsize = local bsize × process_count, like per-rank DDP loaders).
     dp_cfg = tr_cfg.get("data_parallel", "auto")
-    n_dev = jax.local_device_count()
-    use_mesh = (dp_cfg == "auto" and n_dev > 1) or (
-        isinstance(dp_cfg, int) and dp_cfg > 1
+    n_proc = jax.process_count()
+    n_dev = jax.local_device_count() if n_proc == 1 else jax.device_count()
+    use_mesh = (
+        (dp_cfg == "auto" and n_dev > 1)
+        or (isinstance(dp_cfg, int) and dp_cfg > 1)
+        or n_proc > 1
     )
-    if use_mesh and dm.bsize % n_dev != 0:
+    if use_mesh and dm.bsize % max(jax.local_device_count(), 1) != 0:
         pylog.warning(
             f"batch size {dm.bsize} not divisible by {n_dev} devices; "
             "running single-device"
@@ -244,19 +337,36 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     if use_mesh:
         from conette_tpu.parallel.mesh import make_mesh, replicated, batch_sharding
 
-        n_dp = n_dev if dp_cfg == "auto" else int(dp_cfg)
+        n_dp = n_dev if (dp_cfg == "auto" or n_proc > 1) else int(dp_cfg)
         # no `with mesh:` — all shardings below are explicit NamedShardings
         # that carry the mesh themselves, so no ambient context is needed
         # (and nothing leaks at function exit)
-        mesh = make_mesh(n_dp, model_parallel=int(tr_cfg.get("model_parallel", 1)))
+        mesh = make_mesh(
+            n_dp,
+            model_parallel=int(tr_cfg.get("model_parallel", 1)),
+            devices=jax.devices() if n_proc > 1 else None,
+        )
         repl = replicated(mesh)
         state = jax.device_put(state, repl)
         bsh = batch_sharding(mesh)
 
-        def shard_train_batch(b: dict) -> dict:
-            return {k: jax.device_put(v, bsh) for k, v in b.items()}
+        if n_proc > 1:
 
-        pylog.info(f"Training data-parallel over {n_dp} devices")
+            def shard_train_batch(b: dict) -> dict:
+                return {
+                    k: jax.make_array_from_process_local_data(bsh, np.asarray(v))
+                    for k, v in b.items()
+                }
+
+        else:
+
+            def shard_train_batch(b: dict) -> dict:
+                return {k: jax.device_put(v, bsh) for k, v in b.items()}
+
+        pylog.info(
+            f"Training data-parallel over {n_dp} devices"
+            + (f" across {n_proc} hosts" if n_proc > 1 else "")
+        )
     else:
         shard_train_batch = lambda b: b  # noqa: E731
 
@@ -381,15 +491,37 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             pylog.error(f"Non-finite train loss at epoch {epoch}; stopping early.")
             break
 
+        # ---- SWA snapshot averaging from swa_start onwards
+        if swa_start is not None and epoch >= swa_start:
+            from conette_tpu.train.optim import swa_update
+
+            if swa_params is None:
+                swa_params, swa_n = state.params, 1
+            else:
+                swa_params = swa_update(swa_params, state.params, swa_n)
+                swa_n += 1
+
         # ---- validation
         if dm.num_eval_loaders("val") > 0 and (
             epoch % int(tr_cfg.get("val_every_n_epochs", 1)) == 0
         ):
             val_metrics = run_validation(epoch)
             logger.log_metrics(val_metrics | {"epoch": epoch}, step=global_step)
+            if plateau is not None and ckpt.monitor in val_metrics:
+                factor = plateau.step(float(val_metrics[ckpt.monitor]))
+                _set_injected_lr(state.opt_state, base_lr * factor)
+            # checkpoint the averaged weights when SWA/EMA are active
+            # (SWA wins: it subsumes EMA's smoothing role in the reference)
+            ckpt_params = (
+                swa_params if swa_params is not None
+                else (ema_params if ema_decay else state.params)
+            )
+            if not is_main_process():
+                continue  # host-0-only checkpoint writes (shared FS)
             ckpt.step(
                 epoch, val_metrics,
-                ema_params if ema_decay else state.params,
+                ckpt_params,
+                opt_state=state.opt_state,
                 tokenizer=tokenizer,
                 extra_meta={
                     "global_step": global_step,
@@ -404,7 +536,15 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
 
     # ------------------------------------------------------------ 5/6 test
     test_scores: dict[str, Any] = {}
-    if cfg.get("test_after_fit", True) and dm.num_eval_loaders("test") > 0:
+    # Host-0-only corpus scoring — the TPU answer to the reference's
+    # "destroy the DDP group and re-test on a fresh rank-0 single-device
+    # trainer" handoff (train.py:419-433,489-496): SPICE/FENSE-style metric
+    # subprocesses are not distributed-safe, so only host 0 decodes+scores.
+    if (
+        cfg.get("test_after_fit", True)
+        and dm.num_eval_loaders("test") > 0
+        and is_main_process()
+    ):
         best_params = state.params
         if ckpt.best_dir is not None:
             from conette_tpu.train.checkpoint import load_checkpoint
@@ -446,6 +586,8 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             )
 
     # ------------------------------------------------------- 6/6 artifacts
+    if not is_main_process():
+        return {"run_dir": run_dir, "best": None, "test": {}}
     tokenizer.save_file(os.path.join(run_dir, "tokenizer.json"))
     _save_vocab_csv(tokenizer, os.path.join(run_dir, "vocab.csv"))
     logger.log_hyperparams(
@@ -465,6 +607,20 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         f"({time.time() - t_start:.0f}s, run dir {run_dir})"
     )
     return {"run_dir": run_dir, "best": ckpt.best_score, "test": test_scores}
+
+
+def _set_injected_lr(opt_state, new_lr: float) -> None:
+    """Find the optax ``InjectHyperparamsState`` inside a (possibly chained)
+    optimizer state and overwrite its ``learning_rate`` hyperparam in place
+    (reduce-on-plateau host control)."""
+    if hasattr(opt_state, "hyperparams") and "learning_rate" in opt_state.hyperparams:
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            new_lr, dtype=jnp.asarray(opt_state.hyperparams["learning_rate"]).dtype
+        )
+        return
+    if isinstance(opt_state, (tuple, list)):
+        for sub in opt_state:
+            _set_injected_lr(sub, new_lr)
 
 
 def _make_gen_fn(model_cfg, method: str = "generate"):

@@ -1,0 +1,99 @@
+"""Multi-host smoke test (VERDICT r1 #4): two real OS processes, each with
+4 virtual CPU devices, form a jax.distributed cluster through
+``parallel.distributed.initialize`` and run a sharded train step on a global
+8-device mesh with per-process local batch feeding
+(``jax.make_array_from_process_local_data``) and a host-0 gather —
+the wiring ``train/main.py`` uses when ``jax.process_count() > 1``."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.environ["REPO_ROOT"])
+    from conette_tpu.parallel.distributed import (
+        gather_to_host0, initialize, is_main_process,
+    )
+
+    pid = int(os.environ["JAX_PROCESS_ID"])
+    initialize()  # reads JAX_NUM_PROCESSES / JAX_PROCESS_ID / coordinator
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8, 1), ("data", "model"))
+    bsh = NamedSharding(mesh, P("data"))
+
+    # each process contributes 4 distinct rows -> global batch of 8
+    local = np.arange(4 * 3, dtype=np.float32).reshape(4, 3) + 100 * pid
+    global_x = jax.make_array_from_process_local_data(bsh, local)
+    assert global_x.shape == (8, 3)
+
+    @jax.jit
+    def mean_sq(x):
+        return jnp.mean(x * x)
+
+    got = float(mean_sq(global_x))
+    both = np.concatenate([
+        np.arange(12, dtype=np.float32).reshape(4, 3),
+        np.arange(12, dtype=np.float32).reshape(4, 3) + 100,
+    ])
+    want = float(np.mean(both * both))
+    assert abs(got - want) < 1e-3, (got, want)
+
+    gathered = gather_to_host0(global_x)
+    if is_main_process():
+        assert gathered is not None and gathered.reshape(8, 3).shape == (8, 3)
+        print("MULTIHOST_OK", got)
+    else:
+        assert gathered is None
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_smoke(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            REPO_ROOT=repo_root,
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+        )
+        env.pop("SLURM_NTASKS", None)
+        env.pop("SLURM_PROCID", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\nstdout:{out}\nstderr:{err}"
+    assert "MULTIHOST_OK" in outs[0][0]

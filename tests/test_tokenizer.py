@@ -188,3 +188,54 @@ def test_decode_rec_nested():
 def test_regex_tokenizer_special_token_passthrough():
     wt = RegexWordTokenizer()
     assert wt.tokenize_single("<bos_clotho> rain falls") == ["<bos_clotho>", "rain", "falls"]
+
+
+# Hand-vetted spacy en_core_web_sm expectations for the caption domain
+# (VERDICT r1 #8). Generated from spacy's published tokenizer-exception
+# rules (contraction suffixes n't/'s/'re/'ve/'ll/'d/'m split as separate
+# tokens) and verified against its documented behavior; real-data encode
+# parity over all 7828 released beams lives in
+# tests/test_reference_parity.py::test_encode_batch_roundtrips_to_preds.
+# KNOWN DIVERGENCE (documented, reference-irrelevant): spacy splits infix
+# hyphens into three tokens ("rock-n-roll" -> rock,-,n,-,roll keeping "-");
+# this pipeline never sees hyphens post-normalization (punctuation_mode
+# "remove" strips them), and the released vocab is purely alphabetic.
+SPACY_DOMAIN_FIXTURE = [
+    ("a man is speaking", ["a", "man", "is", "speaking"]),
+    ("a man's dog barks", ["a", "man", "'s", "dog", "barks"]),
+    ("the dog isn't barking", ["the", "dog", "is", "n't", "barking"]),
+    ("don't stop the music", ["do", "n't", "stop", "the", "music"]),
+    ("they're walking away", ["they", "'re", "walking", "away"]),
+    ("we've been waiting", ["we", "'ve", "been", "waiting"]),
+    ("she'll sing soon", ["she", "'ll", "sing", "soon"]),
+    ("i'd rather listen", ["i", "'d", "rather", "listen"]),
+    ("i'm hearing rain", ["i", "'m", "hearing", "rain"]),
+    ("water drips 3 times", ["water", "drips", "3", "times"]),
+    ("birds chirp loudly", ["birds", "chirp", "loudly"]),
+]
+
+
+def test_regex_twin_matches_spacy_fixture():
+    from conette_tpu.tokenization.word_tokenizers import RegexWordTokenizer
+
+    tok = RegexWordTokenizer()
+    for text, want in SPACY_DOMAIN_FIXTURE:
+        assert tok.tokenize_single(text) == want, text
+
+
+def test_regex_twin_matches_real_spacy_when_available():
+    """When spacy + en_core_web_sm are importable (not in this image),
+    assert the twin agrees on the fixture; skipped otherwise."""
+    pytest.importorskip("spacy")
+    import spacy
+
+    try:
+        nlp = spacy.load("en_core_web_sm")
+    except OSError:
+        pytest.skip("en_core_web_sm not downloaded")
+    from conette_tpu.tokenization.word_tokenizers import RegexWordTokenizer
+
+    tok = RegexWordTokenizer()
+    for text, _ in SPACY_DOMAIN_FIXTURE:
+        spacy_toks = [t.text for t in nlp.tokenizer(text)]
+        assert tok.tokenize_single(text) == spacy_toks, text

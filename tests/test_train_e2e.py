@@ -103,7 +103,9 @@ def test_config_expt_preset_applies_last():
     from conette_tpu.config import load_config
 
     cfg = load_config("train", ["expt=[clotho_cnext_bl,task_ds_src_camw]"])
-    assert cfg.dm["train_hdfs"] == ["clotho_dev_resample_mean_convnext_ident.hdf"]
+    # round 2: presets carry the reference's exact HDF artifact names
+    # (conf/expt/clotho_cnext_bl.yaml)
+    assert cfg.dm["train_hdfs"] == ["clotho_dev_resample_mean_convnext_ident_bl.hdf"]
     assert len(cfg.pl["task_names"]) == 7
 
 
