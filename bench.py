@@ -34,6 +34,13 @@ MIN_PRED = 3
 CACHE_FILE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
 
 
+# Analytic FLOPs per 10 s clip (batch-independent): ConvNeXt-Tiny encoder
+# ~40 GFLOP (stem + 4 stages pw/dw convs) + DFT-as-matmul frontend ~4.2 GFLOP
+# + beam-3 decode (20 steps x 6 layers + classifier) ~1.0 GFLOP.
+FLOPS_PER_CLIP = 45.2e9
+V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
+
+
 def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
@@ -249,11 +256,93 @@ def main() -> int:
                 "value": round(tpu_cps, 3),
                 "unit": "clips/s",
                 "vs_baseline": round(tpu_cps / cpu_cps, 2),
+                "mfu": round(tpu_cps * FLOPS_PER_CLIP / V5E_PEAK_FLOPS, 4),
             }
         )
     )
     return 0
 
 
+def profile() -> int:
+    """--profile: per-stage split (frontend / encoder / decode) + device
+    trace under .bench_profile/ (see PROFILE.md for the full analysis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from conette_tpu.models.conette import (
+        ConetteConfig, conette_init, encode_audio, forward_generate,
+    )
+    from conette_tpu.models.convnext import convnext_apply, convnext_init
+    from conette_tpu.ops.frontend import LogMelConfig, logmel_spectrogram
+
+    cfg = ConetteConfig(vocab_size=VOCAB, beam_size=BEAM,
+                        min_pred_size=MIN_PRED, max_pred_size=MAX_PRED)
+    ke, km = jax.random.split(jax.random.PRNGKey(0))
+    enc_params = convnext_init(ke)
+    model_params = conette_init(km, cfg)
+    forbid = jnp.zeros((VOCAB,), bool).at[100:].set(True)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(
+        rng.standard_normal((BATCH, CLIP_SECONDS * SR)).astype(np.float32) * 0.1
+    )
+    lens = jnp.full((BATCH,), CLIP_SECONDS * SR, jnp.int32)
+    bos = jnp.full((BATCH,), 4, jnp.int32)
+
+    @jax.jit
+    def mel_only(w, j):
+        return jnp.sum(
+            logmel_spectrogram(w + j * 1e-6, LogMelConfig(),
+                               compute_dtype=jnp.bfloat16).astype(jnp.float32)
+        )
+
+    @jax.jit
+    def enc_only(w, l, j):
+        outs = convnext_apply(enc_params, w + j * 1e-6, l, compute_dtype=jnp.bfloat16)
+        return jnp.sum(outs["frame_embs"].astype(jnp.float32))
+
+    @jax.jit
+    def full(w, l, b, j):
+        outs = convnext_apply(enc_params, w + j * 1e-6, l, compute_dtype=jnp.bfloat16)
+        audio = jnp.swapaxes(outs["frame_embs"], 1, 2)
+        memory, mask = encode_audio(model_params, cfg, audio, outs["frame_embs_lens"])
+        memory = memory.astype(jnp.bfloat16)
+        res = forward_generate(model_params, cfg, memory, mask, b,
+                               forbid_rep_mask=forbid)
+        return res.best_preds
+
+    def t_of(fn, *args, iters=6):
+        _ = np.asarray(fn(*args, jnp.float32(0)))
+        t0 = time.perf_counter()
+        outs = [fn(*args, jnp.float32(i + 1)) for i in range(iters)]
+        for o in outs:
+            np.asarray(o)
+        return (time.perf_counter() - t0) / iters
+
+    t_mel = t_of(mel_only, wav)
+    t_enc = t_of(enc_only, wav, lens)
+    t_full = t_of(full, wav, lens, bos)
+    report = {
+        "batch": BATCH,
+        "mel_ms": round(t_mel * 1000, 1),
+        "encoder_ms": round(t_enc * 1000, 1),
+        "full_ms": round(t_full * 1000, 1),
+        "decode_ms": round((t_full - t_enc) * 1000, 1),
+        "clips_per_s": round(BATCH / t_full, 1),
+        "mfu": round(BATCH / t_full * FLOPS_PER_CLIP / V5E_PEAK_FLOPS, 4),
+    }
+    trace_dir = os.path.join(os.path.dirname(__file__), ".bench_profile")
+    os.makedirs(trace_dir, exist_ok=True)
+    import jax.profiler
+
+    with jax.profiler.trace(trace_dir):
+        o = full(wav, lens, bos, jnp.float32(99))
+        np.asarray(o)
+    report["trace_dir"] = trace_dir
+    print(json.dumps(report))
+    return 0
+
+
 if __name__ == "__main__":
+    if "--profile" in sys.argv:
+        sys.exit(profile())
     sys.exit(main())

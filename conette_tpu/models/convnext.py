@@ -104,14 +104,25 @@ def convnext_block(
     drop_path_rate: float = 0.0,
     deterministic: bool = True,
     rng: jax.Array | None = None,
+    fused_dwconv_ln: bool = False,
 ) -> jax.Array:
     """dwconv7x7 → LN → pwconv(4x) → GELU → pwconv → layer-scale → residual
     (parity: ``convnext.py:61-74``). Runs in NHWC; the pointwise convs are
-    MXU matmuls over the channel axis."""
+    MXU matmuls over the channel axis. ``fused_dwconv_ln`` routes the
+    bandwidth-bound dwconv+LN prefix through the Pallas kernel
+    (``ops/pallas/dwconv_ln.py``) — one HBM round trip instead of ~5."""
     shortcut = x
     dim = x.shape[-1]
-    y = conv2d(params["dwconv"], x, padding=((3, 3), (3, 3)), groups=dim)
-    y = layer_norm(params["norm"], y, eps=LN_EPS)
+    if fused_dwconv_ln:
+        from conette_tpu.ops.pallas.dwconv_ln import fused_dwconv7x7_ln
+
+        y = fused_dwconv7x7_ln(
+            x, params["dwconv"]["weight"], params["dwconv"]["bias"],
+            params["norm"]["weight"], params["norm"]["bias"], eps=LN_EPS,
+        )
+    else:
+        y = conv2d(params["dwconv"], x, padding=((3, 3), (3, 3)), groups=dim)
+        y = layer_norm(params["norm"], y, eps=LN_EPS)
     y = linear(params["pwconv1"], y)
     y = gelu(y)
     y = linear(params["pwconv2"], y)
@@ -129,6 +140,7 @@ def convnext_features(
     deterministic: bool = True,
     drop_path_rate: float = 0.0,
     rng: jax.Array | None = None,
+    fused_dwconv_ln: bool = False,
 ) -> jax.Array:
     """(B, T, F, 1) NHWC log-mel → (B, T', F', 768) feature map."""
     y = conv2d(params["stem"]["conv"], x, stride=stem_stride, padding=stem_padding)
@@ -153,6 +165,7 @@ def convnext_features(
                 drop_path_rate=dp,
                 deterministic=deterministic,
                 rng=brng,
+                fused_dwconv_ln=fused_dwconv_ln,
             )
             block_idx += 1
     return y
@@ -173,6 +186,7 @@ def convnext_apply(
     compute_dtype: jnp.dtype = jnp.float32,
     spec_augment_fn: Any = None,
     use_fused_frontend: bool | None = None,
+    use_fused_dwconv_ln: bool | None = None,
 ) -> dict[str, jax.Array]:
     """Full encoder forward.
 
@@ -224,12 +238,20 @@ def convnext_apply(
 
     x = mel[..., None].astype(compute_dtype)
 
+    if use_fused_dwconv_ln is None:
+        # Default OFF: the Pallas dwconv+LN kernel is validated to bf16
+        # rounding but currently loses end-to-end on v5e (the pad/unpad
+        # passes + unpipelined per-tile DMA outweigh the fusion win; XLA's
+        # lowering is within ~2x of this chip's HBM speed-of-light).
+        # Available for explicit opt-in and golden-tested.
+        use_fused_dwconv_ln = False
     feats = convnext_features(
         params,
         x,
         deterministic=deterministic,
         drop_path_rate=drop_path_rate,
         rng=rng,
+        fused_dwconv_ln=use_fused_dwconv_ln,
     )
     # (B, T', F', C) → mean over frequency → (B, T', C)
     frames = jnp.mean(feats.astype(jnp.float32), axis=2)

@@ -214,8 +214,13 @@ def decoder_forward(
 class DecodeCache(NamedTuple):
     """Static-shape incremental state for one decode stream batch."""
 
-    self_k: jax.Array  # (num_layers, B, H, L_max, dh)
-    self_v: jax.Array  # (num_layers, B, H, L_max, dh)
+    # per-layer tuples of (B, H, L_max, dh) — separate small buffers so each
+    # step's dynamic_update_slice aliases in place (the written buffer is
+    # itself the value carried forward AND the one attention reads; a single
+    # stacked buffer forces XLA to copy it on every update), and the
+    # beam-parent reorder is a leading-axis gather per layer
+    self_k: tuple
+    self_v: tuple
     cross_k: jax.Array  # (num_layers, B, H, T_mem, dh)
     cross_v: jax.Array  # (num_layers, B, H, T_mem, dh)
     memory_pad: jax.Array  # (B, T_mem) True = PAD
@@ -236,10 +241,10 @@ def init_cache(
         ca = layer["cross_attn"]
         cross_k.append(_split_heads(linear(ca["k"], memory), cfg.nhead))
         cross_v.append(_split_heads(linear(ca["v"], memory), cfg.nhead))
-    zeros = jnp.zeros((cfg.num_layers, b, cfg.nhead, max_steps, dh), memory.dtype)
+    zeros = jnp.zeros((b, cfg.nhead, max_steps, dh), memory.dtype)
     return DecodeCache(
-        self_k=zeros,
-        self_v=zeros,
+        self_k=(zeros,) * cfg.num_layers,
+        self_v=(zeros,) * cfg.num_layers,
         cross_k=jnp.stack(cross_k),
         cross_v=jnp.stack(cross_v),
         memory_pad=memory_key_padding_mask,
@@ -261,7 +266,7 @@ def decode_step(
     """
     b = token_ids.shape[0]
     dh = cfg.d_model // cfg.nhead
-    max_steps = cache.self_k.shape[3]
+    max_steps = cache.self_k[0].shape[2]
 
     x = embedding(params["emb"], token_ids, dtype=cache.cross_k.dtype)
     x = x * math.sqrt(cfg.d_model)
@@ -272,21 +277,31 @@ def decode_step(
     # positions > step are masked out of self-attention
     valid = (jnp.arange(max_steps) <= step)[None, :]  # (1, L_max)
 
-    new_self_k = cache.self_k
-    new_self_v = cache.self_v
+    new_self_k = list(cache.self_k)
+    new_self_v = list(cache.self_v)
     for i, layer in enumerate(params["layers"]):
         sa = layer["self_attn"]
-        q = _split_heads(linear(sa["q"], x), cfg.nhead)  # (B, H, 1, dh)
-        k_new = _split_heads(linear(sa["k"], x), cfg.nhead)  # (B, H, 1, dh)
-        v_new = _split_heads(linear(sa["v"], x), cfg.nhead)
-        k_buf = jax.lax.dynamic_update_slice(
-            new_self_k[i], k_new, (0, 0, step, 0)
-        )
-        v_buf = jax.lax.dynamic_update_slice(
-            new_self_v[i], v_new, (0, 0, step, 0)
-        )
-        new_self_k = new_self_k.at[i].set(k_buf)
-        new_self_v = new_self_v.at[i].set(v_buf)
+        # fused QKV projection: one (D, 3D) matmul instead of three — the
+        # concat is loop-invariant, XLA hoists it out of the decode loop
+        w_qkv = jnp.concatenate(
+            [sa["q"]["weight"], sa["k"]["weight"], sa["v"]["weight"]], axis=1
+        ).astype(x.dtype)
+        b_qkv = jnp.concatenate(
+            [sa["q"]["bias"], sa["k"]["bias"], sa["v"]["bias"]]
+        ).astype(jnp.float32)
+        qkv = (
+            jnp.dot(x, w_qkv, preferred_element_type=jnp.float32) + b_qkv
+        ).astype(x.dtype)
+        q, k_new, v_new = (
+            _split_heads(t, cfg.nhead)
+            for t in jnp.split(qkv, 3, axis=-1)
+        )  # each (B, H, 1, dh)
+        # one in-place dynamic_update_slice per buffer; the updated buffer
+        # is both the carried state and the attention input (no re-slice)
+        k_buf = jax.lax.dynamic_update_slice(new_self_k[i], k_new, (0, 0, step, 0))
+        v_buf = jax.lax.dynamic_update_slice(new_self_v[i], v_new, (0, 0, step, 0))
+        new_self_k[i] = k_buf
+        new_self_v[i] = v_buf
 
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k_buf, preferred_element_type=jnp.float32
@@ -315,8 +330,8 @@ def decode_step(
 
     logits = linear(params["classifier"], x[:, 0, :]).astype(jnp.float32)
     return logits, DecodeCache(
-        self_k=new_self_k,
-        self_v=new_self_v,
+        self_k=tuple(new_self_k),
+        self_v=tuple(new_self_v),
         cross_k=cache.cross_k,
         cross_v=cache.cross_v,
         memory_pad=cache.memory_pad,
@@ -325,9 +340,22 @@ def decode_step(
 
 def reorder_cache(cache: DecodeCache, indices: jax.Array) -> DecodeCache:
     """Gather the batch axis by ``indices`` (beam-search parent reorder)."""
+    # Permute rows via a one-hot matmul instead of a gather: XLA's TPU
+    # gather lowering on these (B·beam, H, L, dh) buffers is several times
+    # slower than the MXU; a 0/1 permutation matrix is numerically exact
+    # (each output row is a single-term sum).
+    n = cache.self_k[0].shape[0]
+    dtype = cache.self_k[0].dtype
+    perm = jax.nn.one_hot(indices, n, dtype=dtype)  # (n, n)
+
+    def permute(buf: jax.Array) -> jax.Array:
+        flat = buf.reshape(n, -1)
+        out = jnp.dot(perm, flat, preferred_element_type=dtype)
+        return out.reshape(buf.shape)
+
     return DecodeCache(
-        self_k=cache.self_k[:, indices],
-        self_v=cache.self_v[:, indices],
+        self_k=tuple(permute(k) for k in cache.self_k),
+        self_v=tuple(permute(v) for v in cache.self_v),
         cross_k=cache.cross_k,  # invariant across beam reorders within a clip
         cross_v=cache.cross_v,
         memory_pad=cache.memory_pad,

@@ -11,6 +11,8 @@ from conette_tpu.decoding.beam import beam_search
 from conette_tpu.models.decoder import DecoderConfig, decoder_init
 from tests.test_decoding import oracle_beam
 
+pytestmark = pytest.mark.slow  # heavy compiles / e2e; deselect with -m 'not slow'
+
 CONFIGS = [
     # (model_seed, data_seed, beam, min_pred, max_pred, use_forbid)
     (11, 0, 2, 0, 6, False),

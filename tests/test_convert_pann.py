@@ -17,6 +17,8 @@ import jax
 from conette_tpu.huggingface.convert_pann import convert_pann
 from conette_tpu.models.pann import apply_pann_model, pann_apply
 
+pytestmark = pytest.mark.slow  # heavy compiles / e2e; deselect with -m 'not slow'
+
 
 def _bn_sd(prefix, dim, rng):
     return {

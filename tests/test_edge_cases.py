@@ -11,6 +11,8 @@ from conette_tpu.decoding.beam import beam_search
 from conette_tpu.huggingface.preprocessor import bucket_length
 from conette_tpu.models.decoder import DecoderConfig, decoder_init
 
+pytestmark = pytest.mark.slow  # heavy compiles; deselect with -m 'not slow'
+
 
 def test_bucket_length_beyond_table():
     # > 30 s rounds up to the next 5 s multiple

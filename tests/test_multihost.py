@@ -13,6 +13,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy compiles / e2e; deselect with -m 'not slow'
+
 _WORKER = textwrap.dedent(
     """
     import os, sys

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from conette_tpu.ops.frontend import DEFAULT_LOGMEL, LogMelConfig, logmel_spectrogram
 from conette_tpu.ops.pallas.logmel import fused_logmel
 
+pytestmark = pytest.mark.slow  # heavy compiles / e2e; deselect with -m 'not slow'
+
 
 def test_matches_jnp_reference():
     rng = np.random.default_rng(0)

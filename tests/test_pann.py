@@ -18,6 +18,8 @@ from conette_tpu.models.pann import (
     pann_apply,
 )
 
+pytestmark = pytest.mark.slow  # heavy compiles; deselect with -m 'not slow'
+
 
 def test_conv_block_matches_torch():
     params = conv_block_init(jax.random.PRNGKey(0), 3, 8)

@@ -16,6 +16,8 @@ from conette_tpu.prepare import (
 )
 from conette_tpu.utils.audio_io import save_wav
 
+pytestmark = pytest.mark.slow  # heavy compiles; deselect with -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def local_dataset(tmp_path_factory):

@@ -12,6 +12,8 @@ from conette_tpu.serving import caption_corpus, make_sharded_caption_fn
 from conette_tpu.tokenization import AACTokenizer
 from conette_tpu.utils.audio_io import save_wav
 
+pytestmark = pytest.mark.slow  # heavy compiles / e2e; deselect with -m 'not slow'
+
 CORPUS = [
     "a bird sings in the rain",
     "an engine hums and water flows",

@@ -5,6 +5,9 @@ import os
 
 from conette_tpu.data.datasets import DummyAACDataset
 from conette_tpu.data.hdf import pack_to_hdf
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy compiles / e2e; deselect with -m 'not slow'
 
 
 def test_main_train_data_parallel(tmp_path):

@@ -11,6 +11,8 @@ import pytest
 from conette_tpu.data.datasets import DummyAACDataset
 from conette_tpu.data.hdf import pack_to_hdf
 
+pytestmark = pytest.mark.slow  # heavy compiles / e2e; deselect with -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def hdf_dir(tmp_path_factory):

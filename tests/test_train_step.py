@@ -20,6 +20,8 @@ from conette_tpu.train.objective import (
 from conette_tpu.train.optim import cos_decay_schedule, decay_mask, get_optimizer
 from conette_tpu.train.step import init_train_state, make_train_step
 
+pytestmark = pytest.mark.slow  # heavy compiles / e2e; deselect with -m 'not slow'
+
 CFG = ConetteConfig(
     vocab_size=32, d_model=32, nhead=2, num_decoder_layers=2,
     dim_feedforward=64, max_pred_size=8,
