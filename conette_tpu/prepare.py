@@ -26,7 +26,7 @@ import logging
 import os
 import random
 import sys
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 import numpy as np
 
@@ -231,6 +231,72 @@ def pack_dataset_to_hdf(
 
 
 # ----------------------------------------------------------------- main CLI
+# ------------------------------------------------- download orchestration
+#: aac-datasets class names per dataset (reference prepare.py:139-276)
+_AAC_DATASET_CLASSES = {
+    "clotho": "Clotho",
+    "audiocaps": "AudioCaps",
+    "macs": "MACS",
+    "wavcaps": "WavCaps",
+}
+
+
+def download_dataset(
+    name: str,
+    root: str = "data",
+    subsets: Sequence[str] | None = None,
+    verbose: int = 1,
+    **dataset_kwargs: Any,
+) -> list[Any]:
+    """Download a captioning dataset through ``aac-datasets`` (twin of the
+    reference's download_dataset, ``prepare.py:139-276``; AudioCaps also
+    needs yt-dlp + ffmpeg on PATH). On egress-less hosts this raises with
+    the staging instructions instead of failing mid-download."""
+    name_l = name.lower()
+    if name_l not in _AAC_DATASET_CLASSES:
+        raise ValueError(
+            f"Unknown dataset {name!r} (expected one of "
+            f"{sorted(_AAC_DATASET_CLASSES)})"
+        )
+    try:
+        import aac_datasets
+    except ImportError as err:
+        raise RuntimeError(
+            "Dataset download needs the `aac-datasets` package (not baked "
+            "into egress-less TPU images). Stage the audio + captions "
+            "manually and use --audio_dir/--captions_csv instead, or "
+            "`pip install aac-datasets` on a connected host."
+        ) from err
+    cls = getattr(aac_datasets, _AAC_DATASET_CLASSES[name_l])
+    subsets = list(subsets) if subsets is not None else [None]
+    out = []
+    for subset in subsets:
+        kwargs = dict(root=root, download=True, verbose=verbose, **dataset_kwargs)
+        if subset is not None:
+            kwargs["subset"] = subset
+        out.append(cls(**kwargs))
+        pylog.info(f"Downloaded {name}/{subset or 'default'} into {root}.")
+    return out
+
+
+def download_metric_resources(cache_dir: str | None = None, verbose: int = 1) -> None:
+    """Fetch the PTB/METEOR/SPICE jars + FENSE models (twin of the
+    reference's download_aac_metrics call, ``prepare.py:567-576``). Uses
+    ``aac-metrics`` when importable; otherwise points at
+    ``scripts/download_metric_resources.sh`` for manual staging."""
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/conette_tpu/aac-metrics")
+    try:
+        from aac_metrics.download import download_metrics
+    except ImportError as err:
+        raise RuntimeError(
+            "Metric-resource download needs `aac-metrics` (not baked into "
+            "egress-less TPU images). Run scripts/download_metric_resources.sh "
+            f"on a connected host and stage the jars under {cache_dir} "
+            "(or set CONETTE_PTB_JAR / CONETTE_METEOR_JAR / CONETTE_SPICE_JAR)."
+        ) from err
+    download_metrics(cache_path=cache_dir, verbose=verbose)
+
+
 def get_prepare_args(argv: Optional[list[str]] = None):
     import argparse
 
@@ -251,12 +317,28 @@ def get_prepare_args(argv: Optional[list[str]] = None):
     parser.add_argument("--overwrite", action="store_true")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--verbose", type=int, default=1)
+    parser.add_argument("--download", type=str, default=None,
+                        help="Download a dataset first via aac-datasets "
+                             "(clotho|audiocaps|macs|wavcaps; connected hosts only).")
+    parser.add_argument("--download_root", type=str, default="data")
+    parser.add_argument("--download_subsets", type=str, nargs="*", default=None)
+    parser.add_argument("--download_metric_resources", action="store_true",
+                        help="Fetch PTB/METEOR/SPICE jars via aac-metrics.")
     return parser.parse_args(argv)
 
 
 def main_prepare(argv: Optional[list[str]] = None) -> int:
     args = get_prepare_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s | %(message)s")
+    if args.download:
+        download_dataset(
+            args.download, args.download_root,
+            subsets=args.download_subsets, verbose=args.verbose,
+        )
+    if args.download_metric_resources:
+        download_metric_resources(verbose=args.verbose)
+        if not args.audio_dir:
+            return 0
     if not args.audio_dir or not args.captions_csv:
         pylog.error(
             "conette-prepare packs LOCAL datasets on egress-less TPU hosts: "
