@@ -204,16 +204,34 @@ def pann_apply(
     }
 
     if "att" in params:
-        # Cnn14_DecisionLevelAtt head: x1 = max+mean over time is replaced by
-        # softmax attention over frames (AttBlock twin).
-        h = jax.nn.relu(linear(params["fc1"], frames))
+        # Cnn14_DecisionLevelAtt head (cnn14_decisionlevel_att.py:225-245):
+        # k3/s1/p1 max+avg smoothing over frames -> fc1 -> per-frame 2048-d
+        # embeddings (these ARE the captioning frame_embs for this encoder)
+        # -> AttBlock softmax attention pooling.
+        from conette_tpu.models.pann_zoo import _pool1d_same
+
+        smoothed = _pool1d_same(frames, "max") + _pool1d_same(frames, "avg")
+        h = jax.nn.relu(linear(params["fc1"], smoothed))  # (B, T', 2048)
+        out["frame_embs"] = jnp.swapaxes(h, 1, 2)
         att = jax.nn.softmax(
             jnp.clip(linear(params["att"]["att"], h), -10.0, 10.0), axis=1
         )  # (B, T', classes)
         cla = jax.nn.sigmoid(linear(params["att"]["cla"], h))
         clip = jnp.sum(att * cla, axis=1)
         out["clipwise_output"] = clip
-        out["framewise_output"] = cla
+        # framewise: upsample segments x32 and pad to the mel frame count
+        # (pann_utils/pytorch_utils.py interpolate + pad_framewise_output)
+        if waveform_input:
+            mel_frames = input_time_len // logmel_cfg.hop_length + 1
+        else:
+            mel_frames = input_time_len
+        up = jnp.repeat(cla, 32, axis=1)
+        if up.shape[1] < mel_frames:
+            tail = jnp.repeat(up[:, -1:], mel_frames - up.shape[1], axis=1)
+            up = jnp.concatenate([up, tail], axis=1)
+        else:
+            up = up[:, :mel_frames]
+        out["framewise_output"] = up
     else:
         x1 = jnp.max(frames, axis=1)
         x2 = jnp.mean(frames, axis=1)
