@@ -93,4 +93,5 @@ def fense(
         "fense": sum(scores) / max(len(scores), 1),
         "fense_sents": scores,
         "sbert_sim": sum(sims) / max(len(sims), 1),
+        "sbert_sim_sents": sims,
     }

@@ -117,3 +117,50 @@ def load_registry_encoder(name: str, ckpt_dir: str | None = None) -> Any:
         state = state[entry.state_dict_key]
     state = {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
     return convert_convnext(state, prefix="")
+
+
+def download_checkpoint(
+    entry: RegistryEntry, ckpt_dir: str | None = None, force: bool = False
+) -> str:
+    """Fetch a registry checkpoint to the cache with md5 verification
+    (twin of torchoutil ``RegistryHub.download_file``; the reference
+    downloads lazily on first use, ``nn/ckpt.py`` + ``prepare.py:66-136``).
+    Connected hosts only — egress-less TPU hosts stage files instead
+    (``resolve_checkpoint``)."""
+    import hashlib
+    import urllib.request
+
+    ckpt_dir = ckpt_dir or os.environ.get("CONETTE_CKPT_DIR", DEFAULT_CKPT_DIR)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    fpath = os.path.join(ckpt_dir, entry.fname)
+    if os.path.isfile(fpath) and not force:
+        return fpath
+    tmp = fpath + ".part"
+    pylog.info(f"Downloading {entry.name} from {entry.url}")
+    try:
+        with urllib.request.urlopen(entry.url, timeout=60) as resp, open(tmp, "wb") as f:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+    except OSError as err:
+        if os.path.isfile(tmp):
+            os.unlink(tmp)
+        raise RuntimeError(
+            f"Download of {entry.name!r} failed ({err}); on egress-less "
+            f"hosts stage {entry.fname} under {ckpt_dir} manually."
+        ) from err
+    if entry.hash_value:
+        digest = hashlib.new(entry.hash_type)
+        with open(tmp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                digest.update(chunk)
+        if digest.hexdigest() != entry.hash_value:
+            os.unlink(tmp)
+            raise ValueError(
+                f"Checksum mismatch for {entry.name!r}: got "
+                f"{digest.hexdigest()}, expected {entry.hash_value}"
+            )
+    os.replace(tmp, fpath)
+    return fpath

@@ -122,12 +122,22 @@ def filter_dataset(
     from conette_tpu.utils.disk_cache import disk_cache
 
     cached_meta = disk_cache(load_audio_metadata)
+    file_backed = hasattr(dataset, "_audio_dir")
     keep: list[int] = []
     for i in range(len(dataset)):
         if index_range is not None and not (index_range[0] <= i < index_range[1]):
             continue
-        fpath = os.path.join(dataset._audio_dir, dataset._fnames[i])
-        meta = cached_meta(fpath)
+        if file_backed:
+            fpath = os.path.join(dataset._audio_dir, dataset._fnames[i])
+            meta = cached_meta(fpath)
+        else:
+            # in-memory datasets (aac-datasets adapter): derive metadata
+            # from the loaded item instead of the WAV header
+            wav, sr = dataset.at(i, "audio")
+            meta = {
+                "duration_s": float(np.asarray(wav).shape[-1]) / sr,
+                "sample_rate": sr,
+            }
         if not (min_duration_s <= meta["duration_s"] <= max_duration_s):
             continue
         if (
@@ -297,6 +307,120 @@ def download_metric_resources(cache_dir: str | None = None, verbose: int = 1) ->
     download_metrics(cache_path=cache_dir, verbose=verbose)
 
 
+class AacDatasetAdapter:
+    """AACDatasetLike over an ``aac-datasets`` dataset object (Clotho,
+    AudioCaps, MACS, WavCaps): maps its item dicts onto the packing
+    protocol so downloaded datasets flow straight into HDF packing."""
+
+    def __init__(self, ds: Any, dataset: str, subset: str,
+                 source: str | None = None) -> None:
+        self._ds = ds
+        self._dataset = dataset
+        self._subset = subset
+        self._source = source
+
+    @property
+    def column_names(self) -> list[str]:
+        return ["audio", "captions", "dataset", "subset", "source", "fname"]
+
+    def at(self, idx: int, column: str) -> Any:
+        if column in ("dataset", "subset", "source"):
+            return getattr(self, f"_{column}")
+        item = self._ds[idx]
+        if column == "audio":
+            wav = np.asarray(item["audio"], np.float32)
+            if wav.ndim == 1:
+                wav = wav[None]
+            return wav, int(item.get("sr", item.get("sample_rate", 32_000)))
+        if column == "captions":
+            return list(item["captions"])
+        if column == "fname":
+            return str(item.get("fname", item.get("file_name", f"item_{idx}.wav")))
+        raise KeyError(column)
+
+    def __getitem__(self, idx: int) -> dict[str, Any]:
+        return {c: self.at(idx, c) for c in self.column_names}
+
+    def __len__(self) -> int:
+        return len(self._ds)
+
+
+def main_prepare_config(argv: list[str]) -> int:
+    """Hydra-style config mode (reference ``conf/prepare.yaml`` flow):
+
+        conette-prepare data=clotho data.subsets=[dev,val] data.download=true
+
+    Composes ``conf/prepare.yaml``, optionally downloads through
+    aac-datasets, and packs each subset with the configured frontend."""
+    from conette_tpu.config import load_config
+
+    cfg = load_config("prepare", argv)
+    data_cfg = dict(cfg.get("data", {}))
+    name = data_cfg.get("name", "none")
+    if cfg.get("download_metric_resources"):
+        download_metric_resources(verbose=int(cfg.get("verbose", 1)))
+    if name in ("none", "hdf", None):
+        pylog.info("No dataset selected (data=none/hdf); nothing to pack.")
+        return 0
+
+    subsets = data_cfg.get("subsets") or [None]
+    root = str(data_cfg.get("root", "data"))
+    if data_cfg.get("download"):
+        datasets = download_dataset(
+            name, root, subsets=subsets, verbose=int(cfg.get("verbose", 1))
+        )
+    else:
+        try:
+            import aac_datasets
+        except ImportError:
+            pylog.error(
+                "Config-mode packing reads datasets through `aac-datasets` "
+                "(not in egress-less images). Use the local flags instead: "
+                "conette-prepare --audio_dir ... --captions_csv ..."
+            )
+            return 2
+        cls = getattr(aac_datasets, _AAC_DATASET_CLASSES[name])
+        datasets = [
+            cls(root=root, subset=s, download=False) if s is not None
+            else cls(root=root, download=False)
+            for s in subsets
+        ]
+
+    encoder_params = None
+    pretrain = dict(cfg.get("audio_t", {})).get("pretrain_path")
+    if pretrain:
+        from conette_tpu.models.registries import load_registry_encoder
+
+        try:
+            encoder_params = load_registry_encoder(str(pretrain))
+        except FileNotFoundError as err:
+            pylog.warning(f"Encoder checkpoint not staged ({err}); random init.")
+
+    audio_t_name = str(
+        dict(cfg.get("audio_t", {})).get("_target_", "resample_mean_convnext")
+    ).rsplit("get_", 1)[-1]
+    out_root = str(cfg.get("out_root", "data/HDF"))
+    filters = dict(cfg.get("filters", {}))
+    for ds, subset in zip(datasets, subsets):
+        adapter = AacDatasetAdapter(ds, name, subset or "full")
+        indexes = filter_dataset(
+            adapter,
+            min_duration_s=float(filters.get("min_duration_s", 0.1) or 0.0),
+            max_duration_s=float(filters.get("max_duration_s", 30.0) or 1e9),
+        )
+        fpath = pack_dataset_to_hdf(
+            adapter, out_root,
+            audio_t_name=audio_t_name,
+            encoder_params=encoder_params,
+            batch_size=int(dict(cfg.get("data", {})).get("bsize", 8) or 8),
+            indexes=indexes,
+            overwrite=bool(cfg.get("overwrite_hdf", False)),
+            debug_check=bool(cfg.get("debug", False)),
+        )
+        pylog.info(f"Packed {name}/{subset}: {len(indexes)} items -> {fpath}")
+    return 0
+
+
 def get_prepare_args(argv: Optional[list[str]] = None):
     import argparse
 
@@ -328,8 +452,12 @@ def get_prepare_args(argv: Optional[list[str]] = None):
 
 
 def main_prepare(argv: Optional[list[str]] = None) -> int:
-    args = get_prepare_args(argv)
+    raw_argv = list(sys.argv[1:] if argv is None else argv)
     logging.basicConfig(level=logging.INFO, format="%(levelname)s | %(message)s")
+    if raw_argv and all("=" in a and not a.startswith("-") for a in raw_argv):
+        # hydra-style overrides -> config mode (reference conf/prepare.yaml)
+        return main_prepare_config(raw_argv)
+    args = get_prepare_args(argv)
     if args.download:
         download_dataset(
             args.download, args.download_root,

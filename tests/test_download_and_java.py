@@ -78,6 +78,18 @@ if any(a.endswith("meteor-1.5.jar") for a in args):
             print("0.25")
             sys.stdout.flush()
             break
+elif "edu.stanford.nlp.process.PTBTokenizer" in args:
+    # PTB protocol: one line of space-separated (lowercased) tokens per
+    # input line; final punctuation split off like the real jar
+    with open(args[-1]) as f:
+        for line in f:
+            words = []
+            for w in line.strip().split():
+                if len(w) > 1 and w[-1] in ".,!?":
+                    words += [w[:-1], w[-1]]
+                else:
+                    words.append(w)
+            print(" ".join(w.lower() for w in words))
 elif any(a.endswith("spice-1.0.jar") for a in args):
     in_file = args[args.index([a for a in args if a.endswith('.json')][0])]
     out_file = args[args.index("-out") + 1]
@@ -123,3 +135,87 @@ def test_spice_subprocess_protocol(fake_java):
     )
     assert out["spice"] == pytest.approx(0.5)
     assert out["spice_sents"] == [0.5, 0.5]
+
+
+def test_registry_download_with_md5(tmp_path):
+    """download_checkpoint fetches + md5-verifies (exercised against a
+    local HTTP server; real Zenodo fetches need a connected host)."""
+    import hashlib
+    import http.server
+    import threading
+
+    from conette_tpu.models.registries import RegistryEntry, download_checkpoint
+
+    blob = b"fake checkpoint bytes" * 100
+    (tmp_path / "srv").mkdir()
+    (tmp_path / "srv" / "ck.pth").write_bytes(blob)
+
+    handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(tmp_path / "srv"), **k
+    )
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        port = server.server_address[1]
+        good = RegistryEntry(
+            name="ck", architecture="X",
+            url=f"http://127.0.0.1:{port}/ck.pth", fname="ck.pth",
+            hash_value=hashlib.md5(blob).hexdigest(),
+        )
+        fpath = download_checkpoint(good, ckpt_dir=str(tmp_path / "cache"))
+        assert open(fpath, "rb").read() == blob
+        # cached second call returns without refetch
+        assert download_checkpoint(good, ckpt_dir=str(tmp_path / "cache")) == fpath
+
+        bad = good._replace(name="bad", hash_value="0" * 32, fname="bad.pth",
+                            url=f"http://127.0.0.1:{port}/ck.pth")
+        with pytest.raises(ValueError, match="Checksum mismatch"):
+            download_checkpoint(bad, ckpt_dir=str(tmp_path / "cache"))
+    finally:
+        server.shutdown()
+
+
+def test_ptb_tokenizer_subprocess_protocol(fake_java, tmp_path, monkeypatch):
+    """PTBWordTokenizer drives the Stanford jar protocol
+    (one lowercased token line per input line)."""
+    jar = tmp_path / "stanford-corenlp-3.4.1.jar"
+    jar.write_bytes(b"jar")
+    monkeypatch.setenv("CONETTE_PTB_JAR", str(jar))
+    from conette_tpu.tokenization.word_tokenizers import PTBWordTokenizer
+
+    tok = PTBWordTokenizer()
+    out = tok.tokenize_batch(["A dog barks.", "Rain falls"])
+    assert out == [["a", "dog", "barks", "."], ["rain", "falls"]]
+
+
+def test_fense_with_fake_sbert(monkeypatch):
+    """FENSE computes SBERT cosine + fluency penalty when a
+    sentence-transformers model is importable (faked here: deterministic
+    embeddings; real weights need a connected host)."""
+    import numpy as _np
+
+    from conette_tpu.metrics.functional import fense as fense_mod
+
+    class FakeModel:
+        def encode(self, sentences, convert_to_numpy=True, **kw):
+            rng = _np.random.default_rng(0)
+            out = []
+            for s in sentences:
+                r = _np.random.default_rng(abs(hash(s)) % (2**32))
+                out.append(r.standard_normal(16))
+            return _np.stack(out)
+
+    monkeypatch.setitem(fense_mod._CACHE, "model", FakeModel())
+    out = fense_mod.fense(
+        ["a dog barks", "rain falls"],
+        [["a dog barks", "a dog is barking"], ["water flows"]],
+        fluency_fn=lambda sents: [False, True],
+    )
+    assert out["fense_sents"][0] == pytest.approx(out["sbert_sim_sents"][0])
+    # flagged sentence penalized by x0.1
+    assert out["fense_sents"][1] == pytest.approx(
+        out["sbert_sim_sents"][1] * 0.1
+    )
+    # candidate identical to its first reference -> that ref's cosine is 1,
+    # so the mean over 2 refs is >= (1 + (-1)) / 2
+    assert out["sbert_sim_sents"][0] >= -0.01

@@ -101,3 +101,57 @@ def test_main_prepare_cli(local_dataset, tmp_path):
 
 def test_main_prepare_requires_local_data():
     assert main_prepare([]) == 2
+
+
+def test_config_mode_prepare_with_fake_aac_datasets(monkeypatch, tmp_path):
+    """Hydra-style `conette-prepare data=clotho data.download=true` flows
+    download -> adapter -> filter -> HDF pack (aac-datasets faked; real
+    downloads need a connected host)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class FakeClotho:
+        def __init__(self, root=None, subset=None, download=False, verbose=0,
+                     **kw):
+            self.subset = subset
+            rng = np.random.default_rng(0)
+            self._items = [
+                {
+                    "audio": rng.standard_normal(32_000 // 4).astype(np.float32) * 0.1,
+                    "sr": 32_000,
+                    "captions": [f"caption {i} a", f"caption {i} b"],
+                    "fname": f"clip_{i}.wav",
+                }
+                for i in range(3)
+            ]
+
+        def __getitem__(self, idx):
+            return self._items[idx]
+
+        def __len__(self):
+            return len(self._items)
+
+    fake = types.ModuleType("aac_datasets")
+    fake.Clotho = FakeClotho
+    monkeypatch.setitem(sys.modules, "aac_datasets", fake)
+
+    from conette_tpu.prepare import main_prepare
+
+    rc = main_prepare([
+        "data=clotho", "data.download=true", "data.subsets=[dev]",
+        "data.bsize=2", f"out_root={tmp_path}",
+    ])
+    assert rc == 0
+    import os
+
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("clotho_dev_resample_mean_convnext") for f in files), files
+
+    from conette_tpu.data.hdf import HDFDataset
+
+    ds = HDFDataset(os.path.join(tmp_path, files[0]))
+    assert len(ds) == 3
+    assert ds.at(0, "captions") == ["caption 0 a", "caption 0 b"]
+    assert ds.at(0, "audio").shape[-1] == 768
