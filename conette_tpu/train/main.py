@@ -448,6 +448,16 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         logger.log_metrics({f"start_{k}": v for k, v in start_metrics.items()})
         pylog.info(f"val_on_start: {start_metrics}")
 
+    # opt-in device tracing (reference conf/trainer/profiler group twin):
+    # trainer=... trainer.profiler.name=jax writes a TensorBoard-loadable
+    # trace of the fit loop into the run dir
+    profiler_cfg = dict(tr_cfg.get("profiler") or {})
+    profiler_on = profiler_cfg.get("name") == "jax"
+    if profiler_on and is_main_process():
+        trace_dir = profiler_cfg.get("trace_dir") or os.path.join(run_dir, "profile")
+        jax.profiler.start_trace(trace_dir)
+        pylog.info(f"jax.profiler trace → {trace_dir}")
+
     global_step = 0
     fit_start = time.time()
     last_train_loss = None
@@ -532,6 +542,8 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
                 },
             )
     fit_duration = time.time() - fit_start
+    if profiler_on and is_main_process():
+        jax.profiler.stop_trace()
     logger.log_metrics({"fit_duration_s": fit_duration})
 
     # ------------------------------------------------------------ 5/6 test

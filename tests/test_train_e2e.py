@@ -117,3 +117,22 @@ def test_config_unknown_group_option_lists_available():
     with pytest.raises(FileNotFoundError) as err:
         load_config("train", ["trainer=nope"])
     assert "fit_test" in str(err.value)
+
+
+def test_profiler_trace_written(hdf_dir, tmp_path):
+    """trainer.profiler.name=jax writes a device trace into the run dir
+    (reference conf/trainer/profiler group twin)."""
+    from conette_tpu.train.main import main_train
+
+    out = main_train([
+        "trainer=lim2", "dm.bsize=3", f"dm.hdf_root={hdf_dir}",
+        f"log_root={tmp_path}", "pl.d_model=32", "pl.nhead=2",
+        "pl.num_decoder_layers=1", "pl.dim_feedforward=32",
+        "pl.beam_size=2", "pl.max_pred_size=5", "pl.min_pred_size=1",
+        "trainer.profiler.name=jax", "test_after_fit=false", "ckpts=loss",
+        "dm.train_hdfs=[clotho_dev_x.hdf]",
+        "dm.val_hdfs=[clotho_val_x.hdf]", "dm.test_hdfs=[]",
+    ])
+    prof_dir = os.path.join(out["run_dir"], "profile")
+    assert os.path.isdir(prof_dir)
+    assert any(os.scandir(prof_dir)), "trace dir empty"
