@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Training-step throughput on the real chip.
+
+The reference trains CoNeTTE in ~3-4 h on one V100 (README.md:46-59) over
+pre-encoded HDF embeddings; the trainable model is projection + 6-layer
+decoder. This measures the jitted train step (mixup + teacher forcing +
+label-smoothed CE + AdamW) at the production shapes:
+
+    python scripts/bench_train.py [--batch 512] [--iters 20]
+
+Prints one JSON line: steps/s, samples/s, and the projected epoch time for
+the balanced CL+AC+MA+WC recipe (~70k clips/epoch with main_hdf_min).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--frames", type=int, default=31, help="frame embs per clip (10 s)")
+    parser.add_argument("--cap-len", type=int, default=22)
+    parser.add_argument("--vocab", type=int, default=4000)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+        )
+    except Exception:
+        pass
+
+    from conette_tpu.models.conette import ConetteConfig, conette_init
+    from conette_tpu.train.objective import training_loss
+    from conette_tpu.train.optim import get_optimizer
+    from conette_tpu.train.step import TrainState, init_train_state
+
+    cfg = ConetteConfig(vocab_size=args.vocab)
+    params = conette_init(jax.random.PRNGKey(0), cfg)
+    tx, _ = get_optimizer(params, sched_n_steps=400)
+    state = init_train_state(params, tx)
+
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "audio": rng_np.standard_normal(
+            (args.batch, args.frames, 768)
+        ).astype(np.float32),
+        "audio_lens": np.full((args.batch,), args.frames, np.int32),
+        "captions": rng_np.integers(
+            4, args.vocab, size=(args.batch, args.cap_len)
+        ).astype(np.int32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(p):
+            return training_loss(p, cfg, batch, rng, use_mixup=True)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, opt_state, state.step + 1), loss
+
+    rng = jax.random.PRNGKey(1)
+    state, loss = train_step(state, batch, rng)
+    _ = float(loss)  # compile + run
+
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(args.iters):
+        state, loss = train_step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(loss)
+    last = float(losses[-1])  # fetch forces the chain
+    dt = time.perf_counter() - t0
+
+    steps_s = args.iters / dt
+    samples_s = steps_s * args.batch
+    epoch_clips = 70_000  # balanced CL+AC+MA+WC (main_hdf_min) epoch size
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_throughput",
+                "steps_per_s": round(steps_s, 2),
+                "samples_per_s": round(samples_s, 1),
+                "batch": args.batch,
+                "loss": round(last, 4),
+                "projected_epoch_s": round(epoch_clips / samples_s, 1),
+                "projected_400_epochs_h": round(
+                    400 * epoch_clips / samples_s / 3600, 2
+                ),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
