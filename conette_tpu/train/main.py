@@ -461,8 +461,12 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     global_step = 0
     fit_start = time.time()
     last_train_loss = None
+    from conette_tpu.data.prefetch import prefetch_iterator
+
     for epoch in range(max_epochs):
-        for i, b in enumerate(dm.train_batches(epoch)):
+        # background-thread prefetch overlaps HDF reads + collation with the
+        # async-dispatched device step (reference DataLoader-workers twin)
+        for i, b in enumerate(prefetch_iterator(dm.train_batches(epoch))):
             if lim_train is not None and i >= lim_train:
                 break
             state, metrics = train_step(

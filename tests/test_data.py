@@ -168,3 +168,21 @@ class TestDataModule:
     def test_prefetcher(self):
         pf = Prefetcher(iter(range(10)), depth=2)
         assert list(pf) == list(range(10))
+
+
+def test_prefetch_iterator_order_and_errors():
+    from conette_tpu.data.prefetch import prefetch_iterator
+
+    assert list(prefetch_iterator(iter(range(10)), depth=3)) == list(range(10))
+    assert list(prefetch_iterator(iter([]), depth=2)) == []
+
+    def boom():
+        yield 1
+        raise ValueError("source failed")
+
+    it = prefetch_iterator(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="source failed"):
+        list(it)
