@@ -59,17 +59,31 @@ def caption_corpus(
     if len(tasks) != n:
         raise ValueError(f"{len(tasks)=} != {len(paths)=}")
 
-    # --- host: load + resample everything (native loader when built),
-    # then group by bucket
     pre = model.preprocessor
-    waves: list[np.ndarray] = []
-    for p in paths:
-        wav, lens = pre.load_resample(p)
-        waves.append(wav[0, : int(lens[0])])
 
+    # --- bucket pass: resampled lengths only (WAV headers via the native
+    # loader when built; waveforms stream lazily per batch, so RAM stays
+    # O(batch) instead of O(corpus))
+    def resampled_len(path: str) -> int:
+        try:
+            from conette_tpu.native import loader as native_loader
+            from conette_tpu.ops.resample import resampled_length
+
+            if native_loader.is_available():
+                sr, _, frames = native_loader.wav_info(path)
+                return (
+                    frames if sr == pre.target_sr
+                    else resampled_length(frames, sr, pre.target_sr)
+                )
+        except Exception:
+            pass
+        wav, lens = pre.load_resample(path)
+        return int(lens[0])
+
+    lengths = [resampled_len(p) for p in paths]
     buckets: dict[int, list[int]] = {}
-    for i, w in enumerate(waves):
-        buckets.setdefault(bucket_length(len(w)), []).append(i)
+    for i, ln in enumerate(lengths):
+        buckets.setdefault(bucket_length(ln), []).append(i)
     pylog.info(
         f"{n} clips → {len(buckets)} length buckets "
         f"({sorted(b // 32000 for b in buckets)} s)"
@@ -84,45 +98,88 @@ def caption_corpus(
         if batch_size % data_size != 0:
             raise ValueError(f"{batch_size=} not divisible by mesh data={data_size}")
 
+    # --- fused waveform→tokens program: ONE dispatch per batch (encoder +
+    # projection + beam decode in a single XLA program; see PROFILE.md on
+    # per-dispatch costs)
+    from conette_tpu.models.conette import (
+        encode_audio,
+        forward_generate,
+        tasks_to_bos_ids,
+    )
+    from conette_tpu.models.convnext import convnext_apply
+
+    cfg = model.model_cfg
+    beam = beam_size if beam_size is not None else cfg.beam_size
+    forbid = model.forbid_rep_mask
+    if forbid is None:
+        forbid = jnp.zeros((cfg.vocab_size,), bool)
+
+    @jax.jit
+    def caption_batch(enc_params, params, wav, lens, bos_ids, forbid):
+        outs = convnext_apply(enc_params, wav, lens, compute_dtype=jnp.bfloat16)
+        audio = jnp.swapaxes(outs["frame_embs"], 1, 2)
+        memory, mask = encode_audio(params, cfg, audio, outs["frame_embs_lens"])
+        memory = memory.astype(jnp.bfloat16)
+        res = forward_generate(
+            params, cfg, memory, mask, bos_ids,
+            beam_size=beam, forbid_rep_mask=forbid,
+        )
+        return res.best_preds, res.best_avg_lprobs
+
+    def bos_for(idx_chunk: list[int], pad_to: int) -> np.ndarray:
+        chunk_tasks = [tasks[i] for i in idx_chunk]
+        chunk_tasks += [chunk_tasks[0]] * (pad_to - len(chunk_tasks))
+        datasets = [t.split("_")[0] for t in chunk_tasks]
+        sources = ["_".join(t.split("_")[1:]) or None for t in chunk_tasks]
+        if cfg.task_mode == "ds_src":
+            return tasks_to_bos_ids(cfg, model.task_token_ids, datasets, sources)
+        if cfg.task_mode == "ds":
+            return tasks_to_bos_ids(cfg, model.task_token_ids, datasets)
+        return np.full((pad_to,), cfg.bos_id, np.int32)
+
     results: dict[int, CaptionResult] = {}
+    pending: list[tuple[list[int], Any, Any]] = []
+
+    def drain(item: tuple[list[int], Any, Any]) -> None:
+        chunk, preds_d, lprobs_d = item
+        preds = np.asarray(preds_d)
+        lprobs = np.asarray(lprobs_d)
+        cands = [model._decode_pred(preds[r]) for r in range(len(chunk))]
+        for row, i in enumerate(chunk):
+            results[i] = CaptionResult(
+                fname=paths[i], caption=cands[row],
+                lprob=float(lprobs[row]), task=tasks[i],
+            )
+
     for blen, idxs in sorted(buckets.items()):
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start : start + batch_size]
-            b = len(chunk)
             wav = np.zeros((batch_size, blen), np.float32)
             lens = np.full((batch_size,), blen, np.int64)
             for row, i in enumerate(chunk):
-                wav[row, : len(waves[i])] = waves[i]
-                lens[row] = len(waves[i])
+                w, wl = pre.load_resample(paths[i])
+                m = min(int(wl[0]), blen)
+                wav[row, :m] = w[0, :m]
+                lens[row] = m
 
             wav_d = jnp.asarray(wav)
             lens_d = jnp.asarray(lens)
+            bos_d = jnp.asarray(bos_for(chunk, batch_size))
             if sharding is not None:
                 wav_d = jax.device_put(wav_d, sharding)
                 lens_d = jax.device_put(lens_d, sharding)
+                bos_d = jax.device_put(bos_d, sharding)
 
-            batch = model.preprocessor._encode_fn(
-                model.preprocessor.params, wav_d, lens_d
+            preds_d, lprobs_d = caption_batch(
+                model.encoder_params, model.params, wav_d, lens_d, bos_d, forbid
             )
-            audio = jnp.swapaxes(batch["frame_embs"], 1, 2)
-            out = model.forward(
-                audio,
-                preprocess=False,
-                x_shapes=np.stack(
-                    [np.full((batch_size,), 768), np.asarray(batch["frame_embs_lens"])],
-                    axis=1,
-                ),
-                task=[tasks[i] for i in chunk]
-                + [tasks[chunk[0]]] * (batch_size - b),
-                beam_size=beam_size,
-            )
-            for row, i in enumerate(chunk):
-                results[i] = CaptionResult(
-                    fname=paths[i],
-                    caption=out["cands"][row],
-                    lprob=float(out["lprobs"][row]),
-                    task=tasks[i],
-                )
+            # decode the PREVIOUS batch's tokens while this one runs on
+            # device (async dispatch): host detokenize overlaps compute
+            pending.append((chunk, preds_d, lprobs_d))
+            if len(pending) > 1:
+                drain(pending.pop(0))
+    for item in pending:
+        drain(item)
     return [results[i] for i in range(n)]
 
 
