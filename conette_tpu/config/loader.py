@@ -222,10 +222,13 @@ def load_config(
     for group_key, option in group_sel.items():
         group, _, pkg_path = group_key.partition("@")
         loaded = _load_group(conf_dir, group, str(option))
-        if pkg_path:
+        # `a/b=opt` selects subgroup b of group a into cfg.a.b (hydra
+        # nested-group override syntax, e.g. trainer/plugins=slurm)
+        dest = pkg_path or (group.replace("/", ".") if "/" in group else "")
+        if dest:
             _set_path(
-                cfg, pkg_path,
-                merge_dicts(DotDict(cfg).get_path(pkg_path) or {}, loaded),
+                cfg, dest,
+                merge_dicts(DotDict(cfg).get_path(dest) or {}, loaded),
             )
         else:
             cfg[group] = merge_dicts(cfg.get(group, {}), loaded)

@@ -29,22 +29,31 @@ def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    use_scheduler_env: bool = True,
 ) -> None:
     """Initialize jax.distributed; no-ops for single-process runs. SLURM
-    env vars are honoured when explicit args are absent."""
+    env vars are honoured when explicit args are absent, unless
+    ``use_scheduler_env`` is False (the ``trainer/plugins: lightning``
+    local-environment twin — only explicit JAX_* coordinates count)."""
+
+    def sched(key: str, fallback_key: str, default: str) -> str:
+        if use_scheduler_env and key in os.environ:
+            return os.environ[key]
+        return os.environ.get(fallback_key, default)
+
     if num_processes is None:
-        num_processes = int(
-            os.environ.get("SLURM_NTASKS", os.environ.get("JAX_NUM_PROCESSES", "1"))
-        )
+        num_processes = int(sched("SLURM_NTASKS", "JAX_NUM_PROCESSES", "1"))
     if num_processes <= 1:
         return
     if process_id is None:
-        process_id = int(
-            os.environ.get("SLURM_PROCID", os.environ.get("JAX_PROCESS_ID", "0"))
-        )
+        process_id = int(sched("SLURM_PROCID", "JAX_PROCESS_ID", "0"))
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
-        if coordinator_address is None and "SLURM_JOB_NODELIST" in os.environ:
+        if (
+            coordinator_address is None
+            and use_scheduler_env
+            and "SLURM_JOB_NODELIST" in os.environ
+        ):
             first = os.environ["SLURM_JOB_NODELIST"].split(",")[0].split("[")[0]
             coordinator_address = f"{first}:8476"
     jax.distributed.initialize(

@@ -50,14 +50,16 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         rank_tag,
     )
 
-    dist_initialize()
-    logging.basicConfig(
-        level=logging.INFO,
-        format=(
-            f"%(levelname)s | {rank_tag()} | %(message)s"
-            if jax.process_count() > 1
-            else "%(levelname)s | %(message)s"
-        ),
+    # trainer/plugins: lightning = local environment (ignore SLURM_*);
+    # slurm/none = scheduler env honoured (reference plugin twins)
+    plugin = str(cfg.get_path("trainer.plugins.name", "none"))
+    dist_initialize(use_scheduler_env=plugin != "lightning")
+
+    from conette_tpu.utils.log_utils import setup_job_logging
+
+    setup_job_logging(
+        rank_tag=rank_tag() if jax.process_count() > 1 else None,
+        verbose=int(cfg.get("verbose", 1)),
     )
 
     if cfg.get("debug"):
@@ -78,6 +80,12 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     )
     run_dir = os.path.join(cfg.get("log_root", "logs"), run_name)
     os.makedirs(run_dir, exist_ok=True)
+    # re-attach with the run-dir file handler (logs/outputs.log twin)
+    setup_job_logging(
+        run_dir=run_dir,
+        rank_tag=rank_tag() if jax.process_count() > 1 else None,
+        verbose=int(cfg.get("verbose", 1)),
+    )
 
     from conette_tpu.utils.misc import get_current_git_hash, reset_seed, save_code_to_zip
     from conette_tpu.utils.run_logger import RunLogger

@@ -175,3 +175,53 @@ class TestCheckpointBackends:
         save_checkpoint(d, params)
         loaded = load_checkpoint(d)
         np.testing.assert_array_equal(np.asarray(loaded["params"]["w"]), 1.0)
+
+
+class TestJobLogging:
+    def test_file_handler_writes_run_log(self, tmp_path):
+        import logging
+
+        from conette_tpu.utils.log_utils import setup_job_logging
+
+        run_dir = str(tmp_path / "run")
+        os.makedirs(run_dir)
+        setup_job_logging(run_dir=run_dir, rank_tag="RANK0")
+        logging.getLogger("conette_tpu.test").info("hello from the run")
+        # idempotent re-setup must not duplicate handlers
+        setup_job_logging(run_dir=run_dir, rank_tag="RANK0")
+        root = logging.getLogger()
+        ours = [h for h in root.handlers if getattr(h, "_conette_job", False)]
+        assert len(ours) == 2  # console + file
+        log_fpath = os.path.join(run_dir, "logs", "outputs.log")
+        assert os.path.isfile(log_fpath)
+        text = open(log_fpath).read()
+        assert "hello from the run" in text and "RANK0" in text
+        for h in ours:
+            root.removeHandler(h)
+
+    def test_job_logging_yaml_loads(self):
+        from conette_tpu.utils.log_utils import load_job_logging_cfg
+
+        cfg = load_job_logging_cfg()
+        assert cfg.get("file") == "logs/outputs.log"
+        assert "%(message)s" in cfg.get("format", "")
+
+
+class TestPluginEnv:
+    def test_lightning_plugin_ignores_slurm_env(self, monkeypatch):
+        """trainer/plugins: lightning = LightningEnvironment twin — SLURM_*
+        must not trigger multi-process init (reference
+        conf/trainer/plugins/lightning.yaml)."""
+        from conette_tpu.parallel import distributed
+
+        monkeypatch.setenv("SLURM_NTASKS", "4")
+        monkeypatch.setenv("SLURM_PROCID", "1")
+        monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+        # would raise inside jax.distributed.initialize if it tried to init
+        distributed.initialize(use_scheduler_env=False)
+
+    def test_lightning_plugin_yaml_selectable(self):
+        from conette_tpu.config import load_config
+
+        cfg = load_config("train", ["trainer/plugins=lightning"])
+        assert cfg["trainer"]["plugins"]["name"] == "lightning"
