@@ -65,6 +65,11 @@ class CoNeTTEPreprocessor:
         self.compute_dtype = compute_dtype
         self.use_buckets = use_buckets
         self.verbose = verbose
+        # fused-encoder Pallas kernels compile for minutes per bucket shape;
+        # make repeat invocations hit the persistent cache
+        from conette_tpu.utils.misc import enable_compilation_cache
+
+        enable_compilation_cache()
 
     @property
     def target_sr(self) -> int:

@@ -131,6 +131,21 @@ def convnext_block(
     return shortcut + y
 
 
+def _stage_fusible(y: jax.Array, deterministic: bool, drop_path_rate: float) -> bool:
+    """The fused Pallas block kernel handles inference (no drop-path rng)
+    on time lengths with a usable tile divisor, when the stage's weights +
+    tile buffers fit the VMEM plan (e.g. the C=768 stage at f32 does not)."""
+    from conette_tpu.ops.pallas.convnext_block import plan_block
+
+    if not (deterministic or drop_path_rate == 0.0):
+        return False
+    _, t, f, c = y.shape
+    f_pad = f + (-f) % 8
+    cp = c + (-c) % 128
+    itemsize = jnp.dtype(y.dtype).itemsize
+    return plan_block(t, f_pad, cp, 4 * c, itemsize) is not None
+
+
 def convnext_features(
     params: Params,
     x: jax.Array,
@@ -141,8 +156,15 @@ def convnext_features(
     drop_path_rate: float = 0.0,
     rng: jax.Array | None = None,
     fused_dwconv_ln: bool = False,
+    fused_block: bool = False,
 ) -> jax.Array:
-    """(B, T, F, 1) NHWC log-mel → (B, T', F', 768) feature map."""
+    """(B, T, F, 1) NHWC log-mel → (B, T', F', 768) feature map.
+
+    ``fused_block`` routes each stage through the fully-fused Pallas block
+    kernel (``ops/pallas/convnext_block.py``): the stage pads F/C once to
+    the (8, 128) DMA tiling, chains its blocks in the padded layout (one
+    HBM read + write per block instead of ~16 XLA passes) and slices back
+    before the downsample conv."""
     y = conv2d(params["stem"]["conv"], x, stride=stem_stride, padding=stem_padding)
     y = layer_norm(params["stem"]["norm"], y, eps=LN_EPS)
 
@@ -154,6 +176,33 @@ def convnext_features(
             ds = params["downsample"][i - 1]
             y = layer_norm(ds["norm"], y, eps=LN_EPS)
             y = conv2d(ds["conv"], y, stride=(2, 2))
+        if fused_block and _stage_fusible(y, deterministic, drop_path_rate):
+            from conette_tpu.ops.pallas.convnext_block import (
+                fused_convnext_block_padded,
+                pad_fc,
+            )
+
+            _, _, f_real, c_real = y.shape
+            y = pad_fc(y)
+            for block in stage:
+                y = fused_convnext_block_padded(
+                    y,
+                    f_real,
+                    c_real,
+                    block["dwconv"]["weight"],
+                    block["dwconv"]["bias"],
+                    block["norm"]["weight"],
+                    block["norm"]["bias"],
+                    block["pwconv1"]["weight"],
+                    block["pwconv1"]["bias"],
+                    block["pwconv2"]["weight"],
+                    block["pwconv2"]["bias"],
+                    block["scale"],
+                    eps=LN_EPS,
+                )
+                block_idx += 1
+            y = y[:, :, :f_real, :c_real]
+            continue
         for block in stage:
             dp = drop_path_rate * block_idx / max(total - 1, 1)
             brng = (
@@ -187,6 +236,7 @@ def convnext_apply(
     spec_augment_fn: Any = None,
     use_fused_frontend: bool | None = None,
     use_fused_dwconv_ln: bool | None = None,
+    use_fused_block: bool | None = None,
 ) -> dict[str, jax.Array]:
     """Full encoder forward.
 
@@ -239,12 +289,16 @@ def convnext_apply(
     x = mel[..., None].astype(compute_dtype)
 
     if use_fused_dwconv_ln is None:
-        # Default OFF: the Pallas dwconv+LN kernel is validated to bf16
-        # rounding but currently loses end-to-end on v5e (the pad/unpad
-        # passes + unpipelined per-tile DMA outweigh the fusion win; XLA's
-        # lowering is within ~2x of this chip's HBM speed-of-light).
-        # Available for explicit opt-in and golden-tested.
+        # Default OFF: superseded by the fully-fused block kernel below
+        # (the dwconv+LN-only kernel loses end-to-end on v5e: pad/unpad
+        # passes + unpipelined per-tile DMA). Golden-tested, opt-in.
         use_fused_dwconv_ln = False
+    if use_fused_block is None:
+        # Default ON for inference: the fully-fused ConvNeXt block Pallas
+        # kernel (dwconv+LN+MLP+residual in one VMEM pass, double-buffered
+        # halo DMA) wins 1.7-4x per stage over the XLA lowering on v5e at
+        # batch 128 (ops/pallas/convnext_block.py, PROFILE.md r2).
+        use_fused_block = deterministic and jax.default_backend() == "tpu"
     feats = convnext_features(
         params,
         x,
@@ -252,6 +306,7 @@ def convnext_apply(
         drop_path_rate=drop_path_rate,
         rng=rng,
         fused_dwconv_ln=use_fused_dwconv_ln,
+        fused_block=use_fused_block,
     )
     # (B, T', F', C) → mean over frequency → (B, T', C)
     frames = jnp.mean(feats.astype(jnp.float32), axis=2)

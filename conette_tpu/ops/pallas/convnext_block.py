@@ -1,0 +1,497 @@
+"""Fully-fused ConvNeXt block Pallas TPU kernel.
+
+One ConvNeXt block is ``dwconv7x7 -> LayerNorm -> Linear(C,4C) -> GELU ->
+Linear(4C,C) -> layer-scale -> residual`` (reference
+``nn/encoders/convnext.py:61-74``). Lowered separately, XLA moves the
+activation tensor through HBM ~16 times per block (dwconv r/w, LN 2-3
+passes, the 4C MLP intermediate w+r, residual r/w); the round-1 trace
+showed LN chains (~73 ms) + dwconv chains (~61 ms) dominating the encoder
+at batch 128 while the MXU matmuls ran near spec (~25 ms, PROFILE.md).
+
+This kernel runs the WHOLE block in VMEM per (batch, time-tile) program:
+
+    HBM --(double-buffered async DMA of a time tile + 3-row halo)--> VMEM
+      -> 49-tap depthwise stencil, f32 acc (static slices; freq halo via
+         an 8-aligned sublane offset into a pre-zeroed work buffer)
+      -> LayerNorm over channels (f32 stats, padded lanes masked)
+      -> MXU: (t, F, C) @ (C, 4C) -> +b -> exact-erf GELU
+      -> MXU: @ (4C, C) -> +b -> layer-scale -> + residual (the tile
+         center, still in VMEM -- no second HBM read)
+      -> HBM (one write)
+
+HBM traffic per block drops to ~1 read + 1 write of the activation (plus
+halo overlap); the 4C intermediate never leaves VMEM. The DMA for tile
+j+1 is issued before computing tile j (two landing slots), so the read
+streams behind the MXU/VPU work.
+
+Mosaic DMA slices must be (8, 128)-aligned on the two minor dims, so the
+kernel operates on a stage-padded layout: F padded to a multiple of 8 and
+C to a multiple of 128, padding zero. A stage pads once, chains its blocks
+in the padded layout (the kernel re-zeroes padded F columns on write and
+zero C lanes provably stay zero), and slices back at the end --
+``models/convnext.py::convnext_features`` does exactly this.
+
+Time-edge tiles reuse a fixed-size clamped DMA window and place rows into
+the work buffer with a shift (zero rows at the boundary); single-tile
+stages place the whole T directly. Numerics match the unfused JAX block to
+bf16 rounding (stencil + LN + matmul accumulation in f32, same cast points
+as ``models/layers.py::linear``/``layer_norm``).
+
+Inference-only (the ConvNeXt preprocessor is frozen in this stack; training
+consumes pre-encoded embeddings -- SURVEY.md L2/L5), so no VJP is defined.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD = 3  # 7x7 stencil halo
+F_OFF = 8  # 8-aligned sublane offset of the real freq columns in `work`
+STENCIL_ROWS = 4  # stencil/LN row chunk (keeps the f32 acc in vregs)
+
+
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _gelu(x: jax.Array) -> jax.Array:
+    """GELU in the input dtype via the tanh formulation, with tanh spelled
+    through exp (Mosaic lowers exp but neither erf/erfc nor bf16
+    comparisons, which rules out the sign/abs-based A&S erf polynomial).
+    |gelu_tanh - gelu_erf| <= ~3e-4 absolute -- below the bf16 ulp of the
+    surrounding computation, so numerically invisible against the unfused
+    exact-erf path at bf16 (golden-tested). Odd-symmetric: exp overflow /
+    underflow at large |x| saturates tanh to +-1 exactly."""
+    c = lambda v: jnp.asarray(v, x.dtype)
+    one = jnp.ones((), x.dtype)
+    inner = x * (c(0.7978845608028654) + c(0.035677408136300125) * (x * x))
+    e = jnp.exp(inner + inner)
+    tanh = one - (c(2.0) / (e + one))
+    return c(0.5) * x * (one + tanh)
+
+
+def pick_t_tile(t: int) -> int | None:
+    """Largest divisor of ``t`` in [8, 72] (VMEM-sized time tiles); None if
+    ``t`` has no usable divisor (caller falls back to the XLA path)."""
+    if t <= 72:
+        return t
+    for tile in range(72, 7, -1):
+        if t % tile == 0:
+            return tile
+    return None
+
+
+def plan_block(
+    t: int, f_pad: int, cp: int, h_dim: int, itemsize: int
+) -> tuple[int, int | None, bool] | None:
+    """VMEM sizing plan: (t_tile, mlp_chunk_rows, use_fshift), or None when
+    no tiling fits the ~16 MB budget (e.g. the C=768/H=3072 stage at f32,
+    whose weights alone are 18.9 MB -- callers fall back to the XLA path).
+    Prefers a smaller time tile when it unlocks the aligned-fshift stencil
+    (measured win on the big stages, PROFILE.md r2)."""
+
+    def sizing(tile: int):
+        chunk = None
+        weights_b = 2 * cp * h_dim * itemsize
+        if weights_b + tile * f_pad * 4 * h_dim > 10 * 1024 * 1024:
+            chunk = max(8, (2 * 1024 * 1024) // (f_pad * h_dim * 4))
+        win = t if tile == t else tile + 2 * PAD
+        fshift_b = 7 * (tile + 2 * PAD) * f_pad * cp * itemsize
+        # weights + DMA slots + work + y + 2x out + MLP temps (f32 h +
+        # compute-dtype h) over the unchunked tile or one chunk
+        mlp_rows_ = tile if chunk is None else chunk
+        mlp_temp = mlp_rows_ * f_pad * h_dim * (4 + itemsize)
+        resident = (
+            weights_b
+            + (2 * win + (tile + 2 * PAD) + 3 * tile) * f_pad * cp * itemsize
+            + mlp_temp
+        )
+        return chunk, resident, fshift_b
+
+    best = pick_t_tile(t)
+    if best is None:
+        return None
+    candidates = [best] + [
+        tile for tile in range(best - 1, 15, -1) if t % tile == 0
+    ]
+    no_fshift_fallback = None
+    for tile in candidates:
+        chunk, resident, fshift_b = sizing(tile)
+        if resident + fshift_b < 12 * 1024 * 1024:
+            return tile, chunk, True
+        if no_fshift_fallback is None and resident < 14 * 1024 * 1024:
+            no_fshift_fallback = (tile, chunk, False)
+    return no_fshift_fallback
+
+
+def pad_fc(x: jax.Array) -> jax.Array:
+    """Stage-entry padding: (B, T, F, C) -> F to a multiple of 8, C to a
+    multiple of 128 (zeros). The fused blocks chain in this layout."""
+    b, t, f, c = x.shape
+    return jnp.pad(x, ((0, 0), (0, 0), (0, (-f) % 8), (0, (-c) % 128)))
+
+
+def pad_channels(a: jax.Array, c_full: int, axis: int = -1) -> jax.Array:
+    """Zero-pad ``axis`` of a weight/bias up to ``c_full`` lanes."""
+    c = a.shape[axis]
+    if c == c_full:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis % a.ndim] = (0, c_full - c)
+    return jnp.pad(a, widths)
+
+
+def _fused_block_kernel(
+    x_hbm_ref,  # (B, T, Fp, Cp) in HBM (stage-padded layout)
+    w_ref,  # (7, 7, Cp) f32 depthwise weights
+    b_ref,  # (1, Cp) f32
+    g_ref,  # (1, Cp) f32 LN gamma
+    beta_ref,  # (1, Cp) f32 LN beta
+    w1_ref,  # (Cp, H) compute dtype
+    b1_ref,  # (1, H) f32
+    w2_ref,  # (H, Cp) compute dtype
+    b2_ref,  # (1, Cp) f32
+    scale_ref,  # (1, Cp) compute dtype (layer scale)
+    out_ref,  # (1, t_tile, Fp, Cp) VMEM out block
+    have_ref,  # scratch (2, win_rows, Fp, Cp) double-buffered DMA landing
+    work_ref,  # scratch (t_tile + 6, W, Cp) halo'd stencil buffer
+    y_ref,  # scratch (t_tile, Fp, Cp) LN output (compute dtype)
+    fshift_ref,  # scratch (7, t_tile + 6, Fp, Cp) aligned freq shifts, or None
+    dma_sems,  # (2,) DMA semaphores
+    *,
+    t_tile: int,
+    n_t: int,
+    t_total: int,
+    f_real: int,
+    c_real: int,
+    eps: float,
+    mlp_chunk_rows: int | None,
+    use_fshift: bool,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    f_pad = out_ref.shape[2]
+    step = b * n_t + j
+    slot = step % 2
+
+    single = n_t == 1  # static: whole T fits one tile (window = T rows)
+    win_rows = have_ref.shape[1]
+
+    def window_start(jj):
+        # fixed-size DMA window clamped inside [0, T); edge tiles place
+        # rows into the work buffer with a shift instead
+        if single:
+            return 0
+        return jnp.clip(jj * t_tile - PAD, 0, t_total - win_rows)
+
+    def dma(bb, jj, s):
+        # aligned dims only: HBM row-window -> full (rows, Fp, Cp)
+        src = x_hbm_ref.at[bb, pl.ds(window_start(jj), win_rows), :, :]
+        return pltpu.make_async_copy(src, have_ref.at[s], dma_sems.at[s])
+
+    # one-time init: zero the work buffer -- the freq halo strips (left of
+    # F_OFF / right of F_OFF+Fp) and the time halo rows stay zero forever;
+    # per-tile copies only ever write the data region / edge rows
+    @pl.when(step == 0)
+    def _():
+        work_ref[...] = jnp.zeros_like(work_ref)
+        dma(b, j, slot).start()
+
+    # prefetch the next program's window into the other slot
+    @pl.when(step + 1 < n_b * n_t)
+    def _():
+        nb = b + (j + 1) // n_t
+        nj = (j + 1) % n_t
+        dma(nb, nj, (step + 1) % 2).start()
+
+    dma(b, j, slot).wait()
+
+    # place the window into the halo'd work buffer (VMEM -> VMEM, ~1 MB)
+    cp = have_ref.shape[3]
+    zrows = jnp.zeros((PAD, f_pad, cp), work_ref.dtype)
+    if single:
+        work_ref[PAD : PAD + t_total, F_OFF : F_OFF + f_pad, :] = have_ref[slot]
+    else:
+
+        @pl.when(jnp.logical_and(j != 0, j != n_t - 1))
+        def _():
+            work_ref[:, F_OFF : F_OFF + f_pad, :] = have_ref[slot]
+
+        @pl.when(j == 0)
+        def _():
+            work_ref[PAD:win_rows, F_OFF : F_OFF + f_pad, :] = have_ref[
+                slot, 0 : win_rows - PAD
+            ]
+            work_ref[0:PAD, F_OFF : F_OFF + f_pad, :] = zrows
+
+        @pl.when(j == n_t - 1)
+        def _():
+            work_ref[0 : win_rows - PAD, F_OFF : F_OFF + f_pad, :] = have_ref[
+                slot, PAD:win_rows
+            ]
+            work_ref[win_rows - PAD : win_rows, F_OFF : F_OFF + f_pad, :] = zrows
+
+    # ---- 49-tap depthwise stencil + bias + LayerNorm. Two measured-on-v5e
+    # design points (PROFILE.md r2): (1) taps are evaluated on small row
+    # chunks so the f32 accumulator stays vector-register-resident (Mosaic
+    # executes each elementwise op as a full VMEM pass otherwise -- chunk 16
+    # ran 2.2x slower than chunk 4); (2) when VMEM allows, the 7 freq
+    # shifts are materialized once per tile into `fshift_ref` so every tap
+    # is a sublane-ALIGNED load (7 relayouts per tile instead of 7 per
+    # chunk; another ~1.2x). LN stats in f32; result stored in compute
+    # dtype in y_ref (the MLP consumes it at that precision anyway).
+    # Padded F columns produce garbage that is masked out at the write
+    # below; their inputs are zero.
+    if use_fshift:
+        for df in range(7):
+            fshift_ref[df] = work_ref[
+                :, df + F_OFF - PAD : df + F_OFF - PAD + f_pad, :
+            ]
+    for r0 in range(0, t_tile, STENCIL_ROWS):
+        rows = min(STENCIL_ROWS, t_tile - r0)
+        acc = None
+        if use_fshift:
+            for df in range(7):
+                for dt in range(7):
+                    term = fshift_ref[df, r0 + dt : r0 + dt + rows].astype(
+                        jnp.float32
+                    ) * w_ref[dt, df, :]
+                    acc = term if acc is None else acc + term
+        else:
+            for df in range(7):
+                sh = work_ref[
+                    r0 : r0 + rows + 2 * PAD,
+                    df + F_OFF - PAD : df + F_OFF - PAD + f_pad,
+                    :,
+                ]
+                for dt in range(7):
+                    term = sh[dt : dt + rows].astype(jnp.float32) * w_ref[dt, df, :]
+                    acc = term if acc is None else acc + term
+        acc = acc + b_ref[0]
+
+        # LayerNorm over the real channels (padded lanes masked)
+        if cp == c_real:
+            mean = jnp.mean(acc, axis=-1, keepdims=True)
+            centered = acc - mean
+            var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+        else:
+            lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 2)
+            valid = lane < c_real
+            mean = (
+                jnp.sum(jnp.where(valid, acc, 0.0), axis=-1, keepdims=True) / c_real
+            )
+            centered = acc - mean
+            var = (
+                jnp.sum(
+                    jnp.where(valid, centered * centered, 0.0),
+                    axis=-1,
+                    keepdims=True,
+                )
+                / c_real
+            )
+        yc = centered * jax.lax.rsqrt(var + eps)
+        y_ref[r0 : r0 + rows] = (yc * g_ref[0] + beta_ref[0]).astype(y_ref.dtype)
+
+    # ---- MLP on the MXU (4C intermediate never leaves VMEM). For wide
+    # stages (C=768, H=3072: 9.4 MB of weights resident) the f32 MLP temps
+    # push past the 16 MB VMEM budget, so rows are processed in chunks.
+    cdt = w1_ref.dtype
+
+    def mlp_rows(y_rows):
+        h = jax.lax.dot_general(
+            y_rows.astype(cdt),
+            w1_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # exact-erf GELU; Mosaic lowers neither erf nor erfc, so erf is
+        # evaluated in-kernel (A&S 7.1.26, |err| <= 1.5e-7, below bf16 ulp)
+        # bias in f32, then GELU evaluated in compute dtype (bf16): the
+        # tanh-form error and bf16 rounding are both below bf16 ulp, and
+        # the elementwise passes over the 4C intermediate move half the
+        # bytes of an f32 evaluation
+        h = _gelu((h + b1_ref[0]).astype(cdt))
+        z = jax.lax.dot_general(
+            h,
+            w2_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (z + b2_ref[0]).astype(out_ref.dtype) * scale_ref[0]
+
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, f_pad, cp), 1)
+        if f_pad != f_real
+        else None
+    )
+
+    def emit(r0, rows, z_rows):
+        shortcut = work_ref[PAD + r0 : PAD + r0 + rows, F_OFF : F_OFF + f_pad, :]
+        res = shortcut + z_rows
+        if col is not None:
+            # re-zero padded freq columns so blocks chain in padded layout
+            res = jnp.where(col < f_real, res, jnp.zeros_like(res))
+        out_ref[0, r0 : r0 + rows] = res
+
+    if mlp_chunk_rows is None:
+        emit(0, t_tile, mlp_rows(y_ref[:]))
+    else:
+        for r0 in range(0, t_tile, mlp_chunk_rows):
+            rows = min(mlp_chunk_rows, t_tile - r0)
+            emit(r0, rows, mlp_rows(y_ref[r0 : r0 + rows]))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f_real", "c_real", "eps", "interpret")
+)
+def fused_convnext_block_padded(
+    x: jax.Array,
+    f_real: int,
+    c_real: int,
+    dw_weight: jax.Array,
+    dw_bias: jax.Array,
+    ln_weight: jax.Array,
+    ln_bias: jax.Array,
+    pw1_weight: jax.Array,
+    pw1_bias: jax.Array,
+    pw2_weight: jax.Array,
+    pw2_bias: jax.Array,
+    layer_scale: jax.Array,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused block in the stage-padded layout: ``x`` is (B, T, Fp, Cp) with
+    Fp % 8 == 0, Cp % 128 == 0 and zero padding beyond ``f_real`` /
+    ``c_real``. Weights are passed unpadded (padded here); the output stays
+    in the same padded layout so blocks chain without repacking."""
+    b, t, f_pad, cp = x.shape
+    if f_pad % 8 or cp % 128:
+        raise ValueError(f"stage-padded input required, got F={f_pad} C={cp}")
+    if dw_weight.ndim == 4:
+        dw_weight = dw_weight[:, :, 0, :]
+    width = _round8(F_OFF + f_pad + PAD)
+    cdt = x.dtype
+    h_dim = pw1_weight.shape[1]
+    plan = plan_block(t, f_pad, cp, h_dim, jnp.dtype(cdt).itemsize)
+    if plan is None:
+        raise ValueError(
+            f"fused block does not fit VMEM for T={t} F={f_pad} C={cp} "
+            f"H={h_dim} dtype={cdt} (use the XLA path)"
+        )
+    t_tile, mlp_chunk_rows, use_fshift = plan
+    n_t = t // t_tile
+
+    kernel = functools.partial(
+        _fused_block_kernel,
+        t_tile=t_tile,
+        n_t=n_t,
+        t_total=t,
+        f_real=f_real,
+        c_real=c_real,
+        eps=eps,
+        mlp_chunk_rows=mlp_chunk_rows,
+        use_fshift=use_fshift,
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    win_rows = t if n_t == 1 else t_tile + 2 * PAD
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # manual halo DMA
+            full((7, 7, cp)),
+            full((1, cp)),
+            full((1, cp)),
+            full((1, cp)),
+            full((cp, h_dim)),
+            full((1, h_dim)),
+            full((h_dim, cp)),
+            full((1, cp)),
+            full((1, cp)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_tile, f_pad, cp),
+            lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t, f_pad, cp), cdt),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_rows, f_pad, cp), cdt),
+            pltpu.VMEM((t_tile + 2 * PAD, width, cp), cdt),
+            pltpu.VMEM((t_tile, f_pad, cp), cdt),
+            pltpu.VMEM(
+                (7, t_tile + 2 * PAD, f_pad, cp) if use_fshift else (1, 1, 8, 128),
+                cdt,
+            ),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * f_real * c_real * (49 + 8 * c_real)
+            + 8 * b * t * f_real * c_real,
+            bytes_accessed=2 * b * t * f_pad * cp * x.dtype.itemsize,
+            transcendentals=b * t * f_real * 4 * c_real,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        pad_channels(dw_weight.astype(jnp.float32), cp),
+        pad_channels(dw_bias.reshape(1, -1).astype(jnp.float32), cp),
+        pad_channels(ln_weight.reshape(1, -1).astype(jnp.float32), cp),
+        pad_channels(ln_bias.reshape(1, -1).astype(jnp.float32), cp),
+        pad_channels(pw1_weight.astype(cdt), cp, axis=0),
+        pw1_bias.reshape(1, h_dim).astype(jnp.float32),
+        pad_channels(pw2_weight.astype(cdt), cp, axis=1),
+        pad_channels(pw2_bias.reshape(1, -1).astype(jnp.float32), cp),
+        pad_channels(layer_scale.reshape(1, -1).astype(cdt), cp),
+    )
+
+
+def fused_convnext_block(
+    x: jax.Array,
+    dw_weight: jax.Array,
+    dw_bias: jax.Array,
+    ln_weight: jax.Array,
+    ln_bias: jax.Array,
+    pw1_weight: jax.Array,
+    pw1_bias: jax.Array,
+    pw2_weight: jax.Array,
+    pw2_bias: jax.Array,
+    layer_scale: jax.Array,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole ConvNeXt block (dwconv7x7+LN+MLP+scale+residual) in one fused
+    pass over HBM; unpadded convenience wrapper (pads, runs, slices).
+    Stage loops should pad once with ``pad_fc`` and chain
+    ``fused_convnext_block_padded`` instead.
+
+    :param x: (B, T, F, C) NHWC activations (bf16 or f32).
+    :param dw_weight: (7, 7, 1, C) HWIO depthwise kernel or (7, 7, C).
+    :returns: (B, T, F, C), dtype of ``x``.
+    """
+    _, _, f, c = x.shape
+    out = fused_convnext_block_padded(
+        pad_fc(x),
+        f,
+        c,
+        dw_weight,
+        dw_bias,
+        ln_weight,
+        ln_bias,
+        pw1_weight,
+        pw1_bias,
+        pw2_weight,
+        pw2_bias,
+        layer_scale,
+        eps=eps,
+        interpret=interpret,
+    )
+    return out[:, :, :f, :c]

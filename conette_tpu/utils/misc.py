@@ -50,3 +50,36 @@ def save_code_to_zip(
                     fpath = os.path.join(dirpath, fname)
                     zf.write(fpath, os.path.relpath(fpath, root))
     return out_fpath
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Point JAX at a persistent compilation cache so repeated CLI / API
+    invocations skip XLA+Mosaic recompiles (the fused ConvNeXt block Pallas
+    kernels take minutes to compile per shape; cached runs are instant).
+
+    Resolution order: explicit arg > $CONETTE_JAX_CACHE_DIR > a repo-local
+    ``.jax_cache`` when the package is run from a checkout, else
+    ``~/.cache/conette_tpu/jax``. No-op if a cache dir is already set."""
+    import jax
+
+    try:
+        current = jax.config.jax_compilation_cache_dir
+    except AttributeError:
+        return
+    if current:
+        return
+    if cache_dir is None:
+        cache_dir = os.environ.get("CONETTE_JAX_CACHE_DIR")
+    if cache_dir is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+        if os.path.isdir(os.path.join(repo_root, ".git")):
+            cache_dir = os.path.join(repo_root, ".jax_cache")
+        else:
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "conette_tpu", "jax"
+            )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception as err:  # never make caching a hard failure
+        pylog.debug(f"compilation cache unavailable: {err}")

@@ -1,0 +1,158 @@
+"""Golden tests for the fully-fused ConvNeXt block Pallas kernel
+(``ops/pallas/convnext_block.py``) against the unfused JAX block
+(``models/convnext.py::convnext_block``), in interpreter mode on CPU.
+
+Covers all four ConvNeXt-Tiny stage shapes (C=96/192/384/768 with the
+F/C lane padding the Mosaic DMA tiling requires), the multi-tile time
+path (edge shifts at j=0 / j=n_t-1), block chaining in the stage-padded
+layout, and the MLP row-chunking used by the wide stages."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conette_tpu.models.convnext import LN_EPS, convnext_block
+from conette_tpu.models.layers import conv2d_init, layer_norm_init, linear_init
+from conette_tpu.ops.pallas.convnext_block import (
+    fused_convnext_block,
+    fused_convnext_block_padded,
+    pad_fc,
+    pick_t_tile,
+)
+
+
+def make_block(key, c):
+    ks = jax.random.split(key, 6)
+    p = {
+        "dwconv": conv2d_init(ks[0], c, c, (7, 7), groups=c),
+        "norm": layer_norm_init(c),
+        "pwconv1": linear_init(ks[1], c, 4 * c, init="trunc_normal"),
+        "pwconv2": linear_init(ks[2], 4 * c, c, init="trunc_normal"),
+        "scale": jax.random.normal(ks[3], (c,), jnp.float32) * 0.1,
+    }
+    p["norm"]["weight"] = 1.0 + 0.1 * jax.random.normal(ks[4], (c,))
+    p["norm"]["bias"] = 0.1 * jax.random.normal(ks[4], (c,))
+    p["dwconv"]["bias"] = 0.1 * jax.random.normal(ks[5], (c,))
+    return p
+
+
+def run_fused(x, p, **kw):
+    return fused_convnext_block(
+        x,
+        p["dwconv"]["weight"],
+        p["dwconv"]["bias"],
+        p["norm"]["weight"],
+        p["norm"]["bias"],
+        p["pwconv1"]["weight"],
+        p["pwconv1"]["bias"],
+        p["pwconv2"]["weight"],
+        p["pwconv2"]["bias"],
+        p["scale"],
+        eps=LN_EPS,
+        interpret=True,
+        **kw,
+    )
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 24, 56, 96),  # stage-1 channels (lane pad 96->128)
+        (2, 12, 28, 192),  # stage-2 (F pad 28->32, lanes 192->256)
+        (1, 30, 14, 384),  # stage-3 (F pad 14->16)
+        (1, 17, 7, 768),  # stage-4 (F pad 7->8, MLP row chunking)
+    ],
+)
+def test_matches_unfused_block_single_tile(shape):
+    b, t, f, c = shape
+    key = jax.random.PRNGKey(c)
+    p = make_block(key, c)
+    x = (jax.random.normal(jax.random.fold_in(key, 1), shape) * 0.5).astype(
+        jnp.bfloat16
+    )
+    assert rel_err(convnext_block(p, x), run_fused(x, p)) < 0.02
+
+
+@pytest.mark.parametrize("t", [160, 126])  # n_t = 4 / 2: edge-shift paths
+def test_matches_unfused_block_multi_tile(t):
+    b, f, c = 2, 8, 128
+    key = jax.random.PRNGKey(t)
+    p = make_block(key, c)
+    x = (jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, c)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    assert pick_t_tile(t) < t  # really exercises the multi-tile path
+    assert rel_err(convnext_block(p, x), run_fused(x, p)) < 0.02
+
+
+def test_blocks_chain_in_padded_layout():
+    """Padded F columns / C lanes must stay zero across chained blocks (the
+    stage loop pads once and never re-zeroes)."""
+    b, t, f, c = 1, 16, 7, 96
+    key = jax.random.PRNGKey(0)
+    blocks = [make_block(jax.random.fold_in(key, i), c) for i in range(2)]
+    x = (jax.random.normal(jax.random.fold_in(key, 9), (b, t, f, c)) * 0.5).astype(
+        jnp.bfloat16
+    )
+
+    ref = x
+    for p in blocks:
+        ref = convnext_block(p, ref)
+
+    y = pad_fc(x)
+    for p in blocks:
+        y = fused_convnext_block_padded(
+            y,
+            f,
+            c,
+            p["dwconv"]["weight"],
+            p["dwconv"]["bias"],
+            p["norm"]["weight"],
+            p["norm"]["bias"],
+            p["pwconv1"]["weight"],
+            p["pwconv1"]["bias"],
+            p["pwconv2"]["weight"],
+            p["pwconv2"]["bias"],
+            p["scale"],
+            eps=LN_EPS,
+            interpret=True,
+        )
+        padded = np.asarray(y, np.float32)
+        assert padded[:, :, f:, :].max(initial=0.0) == 0.0, "F pad not re-zeroed"
+        assert padded[:, :, :, c:].max(initial=0.0) == 0.0, "C pad not zero"
+    assert rel_err(ref, y[:, :, :f, :c]) < 0.02
+
+
+def test_pick_t_tile():
+    assert pick_t_tile(31) == 31  # single tile
+    assert pick_t_tile(252) == 63
+    assert pick_t_tile(126) == 63
+    assert pick_t_tile(160) == 40
+    for t in (27, 52, 72):
+        assert pick_t_tile(t) == t
+
+
+def test_pad_fc_shapes():
+    x = jnp.ones((2, 5, 28, 192))
+    y = pad_fc(x)
+    assert y.shape == (2, 5, 32, 256)
+    np.testing.assert_array_equal(np.asarray(y[:, :, 28:, :]), 0.0)
+    np.testing.assert_array_equal(np.asarray(y[:, :, :, 192:]), 0.0)
+
+
+def test_features_fused_block_matches_unfused():
+    """convnext_features(fused_block=True) == unfused on CPU interpret via
+    monkeypatched interpret default is heavy; instead check the routing
+    gate: non-tileable T falls back to the XLA path without error."""
+    from conette_tpu.models.convnext import _stage_fusible
+
+    assert _stage_fusible(jnp.zeros((1, 63, 14, 384)), True, 0.0)
+    assert not _stage_fusible(jnp.zeros((1, 127, 56, 96)), True, 0.0)  # prime T
+    assert not _stage_fusible(jnp.zeros((1, 63, 14, 384)), False, 0.1)
