@@ -275,27 +275,17 @@ def _fused_block_kernel(
                     acc = term if acc is None else acc + term
         acc = acc + b_ref[0]
 
-        # LayerNorm over the real channels (padded lanes masked)
-        if cp == c_real:
-            mean = jnp.mean(acc, axis=-1, keepdims=True)
-            centered = acc - mean
-            var = jnp.mean(centered * centered, axis=-1, keepdims=True)
-        else:
-            lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 2)
-            valid = lane < c_real
-            mean = (
-                jnp.sum(jnp.where(valid, acc, 0.0), axis=-1, keepdims=True) / c_real
-            )
-            centered = acc - mean
-            var = (
-                jnp.sum(
-                    jnp.where(valid, centered * centered, 0.0),
-                    axis=-1,
-                    keepdims=True,
-                )
-                / c_real
-            )
-        yc = centered * jax.lax.rsqrt(var + eps)
+        # LayerNorm over the real channels. Padded lanes of acc are exactly
+        # zero (zero inputs x zero weights + zero bias), so plain full-lane
+        # sums equal the real-lane sums -- no lane masking needed; variance
+        # via E[x^2] - m^2 in f32 (single reduction pass each).
+        inv_c = 1.0 / c_real
+        mean = jnp.sum(acc, axis=-1, keepdims=True) * inv_c
+        sumsq = jnp.sum(acc * acc, axis=-1, keepdims=True) * inv_c
+        var = sumsq - mean * mean
+        yc = (acc - mean) * jax.lax.rsqrt(var + eps)
+        # gamma is zero on padded lanes, so yc's nonzero -mean there is
+        # re-zeroed by the affine step
         y_ref[r0 : r0 + rows] = (yc * g_ref[0] + beta_ref[0]).astype(y_ref.dtype)
 
     # ---- MLP on the MXU (4C intermediate never leaves VMEM). For wide
