@@ -296,9 +296,16 @@ def convnext_apply(
     if use_fused_block is None:
         # Default ON for inference: the fully-fused ConvNeXt block Pallas
         # kernel (dwconv+LN+MLP+residual in one VMEM pass, double-buffered
-        # halo DMA) wins 1.7-4x per stage over the XLA lowering on v5e at
-        # batch 128 (ops/pallas/convnext_block.py, PROFILE.md r2).
-        use_fused_block = deterministic and jax.default_backend() == "tpu"
+        # halo DMA) beats the XLA lowering on v5e (PROFILE.md r2).
+        # CONETTE_FUSED_BLOCK=0 forces it off (e.g. to trade peak
+        # throughput for cold-start compile time on fresh hosts).
+        import os
+
+        use_fused_block = (
+            deterministic
+            and jax.default_backend() == "tpu"
+            and os.environ.get("CONETTE_FUSED_BLOCK", "1") != "0"
+        )
     feats = convnext_features(
         params,
         x,

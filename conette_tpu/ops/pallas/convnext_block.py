@@ -95,11 +95,9 @@ def plan_block(
     Prefers a smaller time tile when it unlocks the aligned-fshift stencil
     (measured win on the big stages, PROFILE.md r2)."""
 
-    def sizing(tile: int):
-        chunk = None
-        weights_b = 2 * cp * h_dim * itemsize
-        if weights_b + tile * f_pad * 4 * h_dim > 10 * 1024 * 1024:
-            chunk = max(8, (2 * 1024 * 1024) // (f_pad * h_dim * 4))
+    weights_b = 2 * cp * h_dim * itemsize
+
+    def sizing(tile: int, chunk: int | None):
         win = t if tile == t else tile + 2 * PAD
         fshift_b = 7 * (tile + 2 * PAD) * f_pad * cp * itemsize
         # weights + DMA slots + work + y + 2x out + MLP temps (f32 h +
@@ -111,7 +109,14 @@ def plan_block(
             + (2 * win + (tile + 2 * PAD) + 3 * tile) * f_pad * cp * itemsize
             + mlp_temp
         )
-        return chunk, resident, fshift_b
+        return resident, fshift_b
+
+    def chunks_for(tile: int):
+        # unchunked when small; otherwise a ~2 MB-temp chunk, then the
+        # minimal 8-row chunk as a tighter fallback
+        if weights_b + tile * f_pad * 4 * h_dim <= 10 * 1024 * 1024:
+            return [None, 8]
+        return [max(8, (2 * 1024 * 1024) // (f_pad * h_dim * 4)), 8]
 
     best = pick_t_tile(t)
     if best is None:
@@ -121,11 +126,12 @@ def plan_block(
     ]
     no_fshift_fallback = None
     for tile in candidates:
-        chunk, resident, fshift_b = sizing(tile)
-        if resident + fshift_b < 12 * 1024 * 1024:
-            return tile, chunk, True
-        if no_fshift_fallback is None and resident < 14 * 1024 * 1024:
-            no_fshift_fallback = (tile, chunk, False)
+        for chunk in chunks_for(tile):
+            resident, fshift_b = sizing(tile, chunk)
+            if resident + fshift_b < 12 * 1024 * 1024:
+                return tile, chunk, True
+            if no_fshift_fallback is None and resident < 14.5 * 1024 * 1024:
+                no_fshift_fallback = (tile, chunk, False)
     return no_fshift_fallback
 
 
