@@ -166,6 +166,51 @@ def _apply_expt(conf_dir: str, cfg: dict, option: str) -> dict:
     return merge_dicts(cfg, body)
 
 
+_INTERP_RE = None  # compiled lazily
+
+
+def _resolve_interpolations(cfg: dict) -> dict:
+    """OmegaConf-style ``${dotted.path}`` interpolation against the final
+    composed config (reference configs use e.g. ``${trainer.max_epochs}``,
+    ``${verbose}``, ``${job}`` -- ``utils/hydra.py`` resolvers excluded,
+    those are twinned by the run-dir tagger). A full-string reference
+    keeps the referent's type; embedded references stringify. Unresolvable
+    references raise, matching hydra."""
+    global _INTERP_RE
+    import re
+
+    if _INTERP_RE is None:
+        _INTERP_RE = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
+    root = DotDict(cfg)
+    _MISSING = object()
+
+    def lookup(path: str):
+        value = root.get_path(path, _MISSING)
+        if value is _MISSING:
+            raise KeyError(f"Unresolvable config interpolation ${{{path}}}")
+        return value
+
+    def resolve(value, depth=0):
+        if depth > 10:
+            raise ValueError("config interpolation cycle")
+        if isinstance(value, str):
+            full = _INTERP_RE.fullmatch(value)
+            if full:
+                return resolve(lookup(full.group(1)), depth + 1)
+            if _INTERP_RE.search(value):
+                return _INTERP_RE.sub(
+                    lambda m: str(resolve(lookup(m.group(1)), depth + 1)), value
+                )
+            return value
+        if isinstance(value, dict):
+            return {k: resolve(v, depth) for k, v in value.items()}
+        if isinstance(value, list):
+            return [resolve(v, depth) for v in value]
+        return value
+
+    return resolve(cfg)
+
+
 def load_config(
     name: str = "train",
     overrides: Iterable[str] = (),
@@ -241,4 +286,5 @@ def load_config(
 
     for key, value in key_over.items():
         _set_path(cfg, key, value)
+    cfg = _resolve_interpolations(cfg)
     return DotDict(cfg)

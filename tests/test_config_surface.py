@@ -131,3 +131,36 @@ def test_yaml_count_at_reference_scale():
         for _, _, files in os.walk(CONF_DIR)
     )
     assert n >= 60, f"only {n} config YAMLs present"
+
+
+def test_interpolation_resolves_references():
+    """OmegaConf-style ${dotted.path} interpolation (reference configs use
+    ${trainer.max_epochs} / ${verbose} / ${job} everywhere)."""
+    from conette_tpu.config import load_config
+
+    cfg = load_config("train", ["job=myjob"])
+    assert cfg.get_path("launcher.slurm.job_name") == "myjob"
+
+
+def test_interpolation_unresolvable_raises(tmp_path):
+    import pytest
+    import yaml
+
+    (tmp_path / "root.yaml").write_text(yaml.dump({"a": "${missing.key}"}))
+    from conette_tpu.config import load_config
+
+    with pytest.raises(KeyError):
+        load_config("root", [], conf_dir=str(tmp_path))
+
+
+def test_interpolation_embedded_and_typed(tmp_path):
+    import yaml
+
+    (tmp_path / "root.yaml").write_text(
+        yaml.dump({"n": 7, "copy": "${n}", "msg": "got ${n} items"})
+    )
+    from conette_tpu.config import load_config
+
+    cfg = load_config("root", [], conf_dir=str(tmp_path))
+    assert cfg["copy"] == 7  # full-string reference keeps the type
+    assert cfg["msg"] == "got 7 items"
