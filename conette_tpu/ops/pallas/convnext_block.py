@@ -124,14 +124,24 @@ def plan_block(
     candidates = [best] + [
         tile for tile in range(best - 1, 15, -1) if t % tile == 0
     ]
+    # fshift pays for wide freq extents only (measured: +2.5-3 ms/block at
+    # F=56/32, -0.2 at F=16, neutral at F=8 -- sublane relayouts amortize
+    # over more columns). Without fshift, tiles <= 32 rows measured best
+    # (s3 tile 21: 4.9 ms/block vs ~8 at tile 63).
+    want_fshift = f_pad >= 24
+    if not want_fshift:
+        small = [tile for tile in candidates if tile <= 32]
+        candidates = small + [t_ for t_ in candidates if t_ > 32]
     no_fshift_fallback = None
     for tile in candidates:
         for chunk in chunks_for(tile):
             resident, fshift_b = sizing(tile, chunk)
-            if resident + fshift_b < 12 * 1024 * 1024:
+            if want_fshift and resident + fshift_b < 12 * 1024 * 1024:
                 return tile, chunk, True
             if no_fshift_fallback is None and resident < 14.5 * 1024 * 1024:
                 no_fshift_fallback = (tile, chunk, False)
+        if not want_fshift and no_fshift_fallback is not None:
+            return no_fshift_fallback
     return no_fshift_fallback
 
 
@@ -344,7 +354,7 @@ def _fused_block_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("f_real", "c_real", "eps", "interpret")
+    jax.jit, static_argnames=("f_real", "c_real", "eps", "interpret", "_plan")
 )
 def fused_convnext_block_padded(
     x: jax.Array,
@@ -361,6 +371,7 @@ def fused_convnext_block_padded(
     layer_scale: jax.Array,
     eps: float = 1e-6,
     interpret: bool = False,
+    _plan: tuple[int, int | None, bool] | None = None,
 ) -> jax.Array:
     """Fused block in the stage-padded layout: ``x`` is (B, T, Fp, Cp) with
     Fp % 8 == 0, Cp % 128 == 0 and zero padding beyond ``f_real`` /
@@ -374,7 +385,7 @@ def fused_convnext_block_padded(
     width = _round8(F_OFF + f_pad + PAD)
     cdt = x.dtype
     h_dim = pw1_weight.shape[1]
-    plan = plan_block(t, f_pad, cp, h_dim, jnp.dtype(cdt).itemsize)
+    plan = _plan or plan_block(t, f_pad, cp, h_dim, jnp.dtype(cdt).itemsize)
     if plan is None:
         raise ValueError(
             f"fused block does not fit VMEM for T={t} F={f_pad} C={cp} "
