@@ -139,11 +139,11 @@ def _stage_fusible(y: jax.Array, deterministic: bool, drop_path_rate: float) -> 
 
     if not (deterministic or drop_path_rate == 0.0):
         return False
-    _, t, f, c = y.shape
+    b, t, f, c = y.shape
     f_pad = f + (-f) % 8
     cp = c + (-c) % 128
     itemsize = jnp.dtype(y.dtype).itemsize
-    return plan_block(t, f_pad, cp, 4 * c, itemsize) is not None
+    return plan_block(t, f_pad, cp, 4 * c, itemsize, b) is not None
 
 
 def convnext_features(

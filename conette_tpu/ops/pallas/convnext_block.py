@@ -53,6 +53,17 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = 3  # 7x7 stencil halo
 F_OFF = 8  # 8-aligned sublane offset of the real freq columns in `work`
 STENCIL_ROWS = 4  # stencil/LN row chunk (keeps the f32 acc in vregs)
+PACK_GAP = 8  # zero columns between packed segments (>= PAD, 8-aligned)
+
+# In-trace measured plans per ConvNeXt-Tiny stage geometry at bf16
+# (v5e, batch 128): {(f_pad, cp, h_dim): (tile, mlp_chunk, fshift, pack)}.
+# s1 14.0 ms, s2 3.7 ms, s3 4.5 ms, s4 3.7 ms per block at batch 128.
+_MEASURED_PLANS = {
+    (56, 128, 384): (42, 8, True, 1),
+    (32, 256, 768): (42, 8, True, 1),
+    (16, 384, 1536): (21, 8, True, 2),
+    (8, 768, 3072): (31, 8, False, 1),
+}
 
 
 def _round8(n: int) -> int:
@@ -87,62 +98,99 @@ def pick_t_tile(t: int) -> int | None:
 
 
 def plan_block(
-    t: int, f_pad: int, cp: int, h_dim: int, itemsize: int
-) -> tuple[int, int | None, bool] | None:
-    """VMEM sizing plan: (t_tile, mlp_chunk_rows, use_fshift), or None when
-    no tiling fits the ~16 MB budget (e.g. the C=768/H=3072 stage at f32,
-    whose weights alone are 18.9 MB -- callers fall back to the XLA path).
-    Prefers a smaller time tile when it unlocks the aligned-fshift stencil
-    (measured win on the big stages, PROFILE.md r2)."""
+    t: int, f_pad: int, cp: int, h_dim: int, itemsize: int, b: int | None = None
+) -> tuple[int, int | None, bool, int] | None:
+    """VMEM sizing plan: (t_tile, mlp_chunk_rows, use_fshift, pack), or
+    None when no tiling fits the ~16 MB budget (e.g. the C=768/H=3072
+    stage at f32, whose weights alone are 18.9 MB -- callers fall back to
+    the XLA path).
+
+    ``pack`` processes that many batch rows per program, laid side by side
+    along freq with zero gaps: narrow-F stages (F=16) run ~2.8x below the
+    wide stages' per-element rate because sublane relayouts/loads amortize
+    over too few columns -- packing restores a wide effective F.
+    Preference order per measured shootouts (PROFILE.md r2): fshift for
+    effective F >= 24, tiles <= 32 rows otherwise."""
 
     weights_b = 2 * cp * h_dim * itemsize
-
-    def sizing(tile: int, chunk: int | None):
-        win = t if tile == t else tile + 2 * PAD
-        fshift_b = 7 * (tile + 2 * PAD) * f_pad * cp * itemsize
-        # weights + DMA slots + work + y + 2x out + MLP temps (f32 h +
-        # compute-dtype h) over the unchunked tile or one chunk
-        mlp_rows_ = tile if chunk is None else chunk
-        mlp_temp = mlp_rows_ * f_pad * h_dim * (4 + itemsize)
-        resident = (
-            weights_b
-            + (2 * win + (tile + 2 * PAD) + 3 * tile) * f_pad * cp * itemsize
-            + mlp_temp
-        )
-        return resident, fshift_b
-
-    def chunks_for(tile: int):
-        # unchunked when small; otherwise a ~2 MB-temp chunk, then the
-        # minimal 8-row chunk as a tighter fallback
-        if weights_b + tile * f_pad * 4 * h_dim <= 10 * 1024 * 1024:
-            return [None, 8]
-        return [max(8, (2 * 1024 * 1024) // (f_pad * h_dim * 4)), 8]
-
     best = pick_t_tile(t)
     if best is None:
         return None
-    candidates = [best] + [
+    tile_candidates = [best] + [
         tile for tile in range(best - 1, 15, -1) if t % tile == 0
     ]
-    # fshift pays for wide freq extents only (measured: +2.5-3 ms/block at
-    # F=56/32, -0.2 at F=16, neutral at F=8 -- sublane relayouts amortize
-    # over more columns). Without fshift, tiles <= 32 rows measured best
-    # (s3 tile 21: 4.9 ms/block vs ~8 at tile 63).
-    want_fshift = f_pad >= 24
-    if not want_fshift:
-        small = [tile for tile in candidates if tile <= 32]
-        candidates = small + [t_ for t_ in candidates if t_ > 32]
-    no_fshift_fallback = None
-    for tile in candidates:
-        for chunk in chunks_for(tile):
-            resident, fshift_b = sizing(tile, chunk)
-            if want_fshift and resident + fshift_b < 12 * 1024 * 1024:
-                return tile, chunk, True
-            if no_fshift_fallback is None and resident < 14.5 * 1024 * 1024:
-                no_fshift_fallback = (tile, chunk, False)
-        if not want_fshift and no_fshift_fallback is not None:
-            return no_fshift_fallback
-    return no_fshift_fallback
+
+    # measured-best configurations for the ConvNeXt-Tiny stage geometries
+    # at bf16 (in-trace shootouts on v5e, batch 128 -- PROFILE.md r2);
+    # the estimator below is the generic fallback. Keyed by
+    # (f_pad, cp, h_dim): (preferred_tile, chunk, fshift, pack).
+    if itemsize == 2:
+        preferred = _MEASURED_PLANS.get((f_pad, cp, h_dim))
+        if preferred is not None:
+            pref_tile, chunk, fshift, pack = preferred
+            if pack > 1 and (b is None or b % pack):
+                pack = 1
+            tile = min(tile_candidates, key=lambda x: abs(x - pref_tile))
+            if tile >= 16:
+                return tile, chunk, fshift, pack
+
+    pack_candidates = [1]
+    if b is not None and f_pad <= 16:
+        for cand in (2,) if f_pad == 16 else (4, 2):
+            if b % cand == 0:
+                pack_candidates.insert(0, cand)
+
+    def plan_for(pack: int):
+        fp_all = (pack - 1) * (f_pad + PACK_GAP) + f_pad
+        width = _round8(F_OFF + fp_all + PAD)
+
+        def sizing(tile: int, chunk: int | None):
+            win = t if tile == t else tile + 2 * PAD
+            fshift_b = 7 * (tile + 2 * PAD) * fp_all * cp * itemsize
+            mlp_rows_ = tile if chunk is None else chunk
+            # f32 h + compute-dtype h over the unchunked tile or one chunk
+            mlp_temp = mlp_rows_ * fp_all * h_dim * (4 + itemsize)
+            resident = weights_b + mlp_temp + itemsize * cp * (
+                2 * pack * win * f_pad  # DMA landing slots
+                + (tile + 2 * PAD) * width  # work
+                + tile * fp_all  # y
+                + 2 * pack * tile * f_pad  # double-buffered out blocks
+            )
+            return resident, fshift_b
+
+        def chunks_for(tile: int):
+            # unchunked when small; otherwise a ~2 MB-temp chunk, then the
+            # minimal 8-row chunk as a tighter fallback
+            if weights_b + tile * fp_all * 4 * h_dim <= 10 * 1024 * 1024:
+                return [None, 8]
+            return [max(8, (2 * 1024 * 1024) // (fp_all * h_dim * 4)), 8]
+
+        # fshift pays for wide freq extents only (measured: +2.5-3 ms/block
+        # at F=56/32, -0.2 at F=16, neutral at F=8 -- sublane relayouts
+        # amortize over more columns). Without fshift, tiles <= 32 rows
+        # measured best (s3 tile 21: 4.9 ms/block vs ~8 at tile 63).
+        want_fshift = fp_all >= 24
+        candidates = tile_candidates
+        if not want_fshift:
+            small = [tile for tile in candidates if tile <= 32]
+            candidates = small + [t_ for t_ in candidates if t_ > 32]
+        fallback = None
+        for tile in candidates:
+            for chunk in chunks_for(tile):
+                resident, fshift_b = sizing(tile, chunk)
+                if want_fshift and resident + fshift_b < 12 * 1024 * 1024:
+                    return tile, chunk, True, pack
+                if fallback is None and resident < 14.5 * 1024 * 1024:
+                    fallback = (tile, chunk, False, pack)
+            if not want_fshift and fallback is not None:
+                return fallback
+        return fallback
+
+    for pack in pack_candidates:
+        plan = plan_for(pack)
+        if plan is not None:
+            return plan
+    return None
 
 
 def pad_fc(x: jax.Array) -> jax.Array:
@@ -188,8 +236,9 @@ def _fused_block_kernel(
     eps: float,
     mlp_chunk_rows: int | None,
     use_fshift: bool,
+    pack: int,
 ):
-    b = pl.program_id(0)
+    b = pl.program_id(0)  # program batch index (covers `pack` batch rows)
     j = pl.program_id(1)
     n_b = pl.num_programs(0)
     f_pad = out_ref.shape[2]
@@ -197,7 +246,12 @@ def _fused_block_kernel(
     slot = step % 2
 
     single = n_t == 1  # static: whole T fits one tile (window = T rows)
-    win_rows = have_ref.shape[1]
+    win_rows = have_ref.shape[2]
+
+    def seg_off(k: int) -> int:
+        # packed segments sit side by side along freq, separated by
+        # PACK_GAP zero columns (>= the 3-col stencil halo, 8-aligned)
+        return F_OFF + k * (f_pad + PACK_GAP)
 
     def window_start(jj):
         # fixed-size DMA window clamped inside [0, T); edge tiles place
@@ -206,52 +260,70 @@ def _fused_block_kernel(
             return 0
         return jnp.clip(jj * t_tile - PAD, 0, t_total - win_rows)
 
-    def dma(bb, jj, s):
-        # aligned dims only: HBM row-window -> full (rows, Fp, Cp)
-        src = x_hbm_ref.at[bb, pl.ds(window_start(jj), win_rows), :, :]
-        return pltpu.make_async_copy(src, have_ref.at[s], dma_sems.at[s])
+    def dmas(bb, jj, s):
+        # aligned dims only: HBM row-window -> full (rows, Fp, Cp) per
+        # packed batch row
+        return [
+            pltpu.make_async_copy(
+                x_hbm_ref.at[bb * pack + k, pl.ds(window_start(jj), win_rows), :, :],
+                have_ref.at[s, k],
+                dma_sems.at[s, k],
+            )
+            for k in range(pack)
+        ]
 
-    # one-time init: zero the work buffer -- the freq halo strips (left of
-    # F_OFF / right of F_OFF+Fp) and the time halo rows stay zero forever;
-    # per-tile copies only ever write the data region / edge rows
+    # one-time init: zero the work buffer -- the freq halo strips and
+    # inter-segment gaps and the time halo rows stay zero forever;
+    # per-tile copies only ever write the data regions / edge rows
     @pl.when(step == 0)
     def _():
         work_ref[...] = jnp.zeros_like(work_ref)
-        dma(b, j, slot).start()
+        for dma in dmas(b, j, slot):
+            dma.start()
 
-    # prefetch the next program's window into the other slot
+    # prefetch the next program's windows into the other slot
     @pl.when(step + 1 < n_b * n_t)
     def _():
         nb = b + (j + 1) // n_t
         nj = (j + 1) % n_t
-        dma(nb, nj, (step + 1) % 2).start()
+        for dma in dmas(nb, nj, (step + 1) % 2):
+            dma.start()
 
-    dma(b, j, slot).wait()
+    for dma in dmas(b, j, slot):
+        dma.wait()
 
-    # place the window into the halo'd work buffer (VMEM -> VMEM, ~1 MB)
-    cp = have_ref.shape[3]
+    # place the windows into the halo'd work buffer (VMEM -> VMEM, ~1 MB)
+    cp = have_ref.shape[4]
     zrows = jnp.zeros((PAD, f_pad, cp), work_ref.dtype)
     if single:
-        work_ref[PAD : PAD + t_total, F_OFF : F_OFF + f_pad, :] = have_ref[slot]
+        for k in range(pack):
+            work_ref[PAD : PAD + t_total, seg_off(k) : seg_off(k) + f_pad, :] = (
+                have_ref[slot, k]
+            )
     else:
 
         @pl.when(jnp.logical_and(j != 0, j != n_t - 1))
         def _():
-            work_ref[:, F_OFF : F_OFF + f_pad, :] = have_ref[slot]
+            for k in range(pack):
+                work_ref[:, seg_off(k) : seg_off(k) + f_pad, :] = have_ref[slot, k]
 
         @pl.when(j == 0)
         def _():
-            work_ref[PAD:win_rows, F_OFF : F_OFF + f_pad, :] = have_ref[
-                slot, 0 : win_rows - PAD
-            ]
-            work_ref[0:PAD, F_OFF : F_OFF + f_pad, :] = zrows
+            for k in range(pack):
+                work_ref[PAD:win_rows, seg_off(k) : seg_off(k) + f_pad, :] = (
+                    have_ref[slot, k, 0 : win_rows - PAD]
+                )
+                work_ref[0:PAD, seg_off(k) : seg_off(k) + f_pad, :] = zrows
 
         @pl.when(j == n_t - 1)
         def _():
-            work_ref[0 : win_rows - PAD, F_OFF : F_OFF + f_pad, :] = have_ref[
-                slot, PAD:win_rows
-            ]
-            work_ref[win_rows - PAD : win_rows, F_OFF : F_OFF + f_pad, :] = zrows
+            for k in range(pack):
+                work_ref[0 : win_rows - PAD, seg_off(k) : seg_off(k) + f_pad, :] = (
+                    have_ref[slot, k, PAD:win_rows]
+                )
+                work_ref[
+                    win_rows - PAD : win_rows, seg_off(k) : seg_off(k) + f_pad, :
+                ] = zrows
 
     # ---- 49-tap depthwise stencil + bias + LayerNorm. Two measured-on-v5e
     # design points (PROFILE.md r2): (1) taps are evaluated on small row
@@ -264,10 +336,11 @@ def _fused_block_kernel(
     # dtype in y_ref (the MLP consumes it at that precision anyway).
     # Padded F columns produce garbage that is masked out at the write
     # below; their inputs are zero.
+    fp_all = (pack - 1) * (f_pad + PACK_GAP) + f_pad  # packed col extent
     if use_fshift:
         for df in range(7):
             fshift_ref[df] = work_ref[
-                :, df + F_OFF - PAD : df + F_OFF - PAD + f_pad, :
+                :, df + F_OFF - PAD : df + F_OFF - PAD + fp_all, :
             ]
     for r0 in range(0, t_tile, STENCIL_ROWS):
         rows = min(STENCIL_ROWS, t_tile - r0)
@@ -283,7 +356,7 @@ def _fused_block_kernel(
             for df in range(7):
                 sh = work_ref[
                     r0 : r0 + rows + 2 * PAD,
-                    df + F_OFF - PAD : df + F_OFF - PAD + f_pad,
+                    df + F_OFF - PAD : df + F_OFF - PAD + fp_all,
                     :,
                 ]
                 for dt in range(7):
@@ -338,12 +411,18 @@ def _fused_block_kernel(
     )
 
     def emit(r0, rows, z_rows):
-        shortcut = work_ref[PAD + r0 : PAD + r0 + rows, F_OFF : F_OFF + f_pad, :]
-        res = shortcut + z_rows
-        if col is not None:
-            # re-zero padded freq columns so blocks chain in padded layout
-            res = jnp.where(col < f_real, res, jnp.zeros_like(res))
-        out_ref[0, r0 : r0 + rows] = res
+        # z col 0 maps to work col F_OFF; extract each packed segment
+        for k in range(pack):
+            z0 = k * (f_pad + PACK_GAP)
+            shortcut = work_ref[
+                PAD + r0 : PAD + r0 + rows, seg_off(k) : seg_off(k) + f_pad, :
+            ]
+            res = shortcut + z_rows[:, z0 : z0 + f_pad, :]
+            if col is not None:
+                # re-zero padded freq columns so blocks chain in padded
+                # layout (gap columns of z are garbage and simply dropped)
+                res = jnp.where(col < f_real, res, jnp.zeros_like(res))
+            out_ref[k, r0 : r0 + rows] = res
 
     if mlp_chunk_rows is None:
         emit(0, t_tile, mlp_rows(y_ref[:]))
@@ -382,17 +461,22 @@ def fused_convnext_block_padded(
         raise ValueError(f"stage-padded input required, got F={f_pad} C={cp}")
     if dw_weight.ndim == 4:
         dw_weight = dw_weight[:, :, 0, :]
-    width = _round8(F_OFF + f_pad + PAD)
     cdt = x.dtype
     h_dim = pw1_weight.shape[1]
-    plan = _plan or plan_block(t, f_pad, cp, h_dim, jnp.dtype(cdt).itemsize)
+    plan = _plan or plan_block(t, f_pad, cp, h_dim, jnp.dtype(cdt).itemsize, b)
     if plan is None:
         raise ValueError(
             f"fused block does not fit VMEM for T={t} F={f_pad} C={cp} "
             f"H={h_dim} dtype={cdt} (use the XLA path)"
         )
-    t_tile, mlp_chunk_rows, use_fshift = plan
+    if len(plan) == 3:  # _plan overrides may omit pack
+        plan = (*plan, 1)
+    t_tile, mlp_chunk_rows, use_fshift, pack = plan
+    if b % pack:
+        pack = 1
     n_t = t // t_tile
+    fp_all = (pack - 1) * (f_pad + PACK_GAP) + f_pad
+    width = _round8(F_OFF + fp_all + PAD)
 
     kernel = functools.partial(
         _fused_block_kernel,
@@ -404,6 +488,7 @@ def fused_convnext_block_padded(
         eps=eps,
         mlp_chunk_rows=mlp_chunk_rows,
         use_fshift=use_fshift,
+        pack=pack,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -411,7 +496,7 @@ def fused_convnext_block_padded(
     win_rows = t if n_t == 1 else t_tile + 2 * PAD
     return pl.pallas_call(
         kernel,
-        grid=(b, n_t),
+        grid=(b // pack, n_t),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # manual halo DMA
             full((7, 7, cp)),
@@ -425,20 +510,20 @@ def fused_convnext_block_padded(
             full((1, cp)),
         ],
         out_specs=pl.BlockSpec(
-            (1, t_tile, f_pad, cp),
+            (pack, t_tile, f_pad, cp),
             lambda i, j: (i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, t, f_pad, cp), cdt),
         scratch_shapes=[
-            pltpu.VMEM((2, win_rows, f_pad, cp), cdt),
+            pltpu.VMEM((2, pack, win_rows, f_pad, cp), cdt),
             pltpu.VMEM((t_tile + 2 * PAD, width, cp), cdt),
-            pltpu.VMEM((t_tile, f_pad, cp), cdt),
+            pltpu.VMEM((t_tile, fp_all, cp), cdt),
             pltpu.VMEM(
-                (7, t_tile + 2 * PAD, f_pad, cp) if use_fshift else (1, 1, 8, 128),
+                (7, t_tile + 2 * PAD, fp_all, cp) if use_fshift else (1, 1, 8, 128),
                 cdt,
             ),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, pack)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * t * f_real * c_real * (49 + 8 * c_real)

@@ -156,3 +156,31 @@ def test_features_fused_block_matches_unfused():
     assert _stage_fusible(jnp.zeros((1, 63, 14, 384)), True, 0.0)
     assert not _stage_fusible(jnp.zeros((1, 127, 56, 96)), True, 0.0)  # prime T
     assert not _stage_fusible(jnp.zeros((1, 63, 14, 384)), False, 0.1)
+
+
+@pytest.mark.parametrize(
+    "shape,want_pack",
+    [
+        ((4, 30, 14, 384), 2),  # F=16 padded: 2 segments per program
+        ((4, 17, 7, 768), 1),  # C=768: weights + h temps leave no room
+        ((4, 126, 8, 128), 2),  # multi-tile + packing (edge shifts per seg)
+        ((3, 30, 14, 384), 1),  # B not divisible by pack -> falls back
+    ],
+)
+def test_freq_packed_matches_unfused(shape, want_pack):
+    """Narrow-F stages pack several batch rows side by side along freq
+    (zero gaps >= the stencil halo); outputs must match the unfused block
+    row-for-row."""
+    from conette_tpu.ops.pallas.convnext_block import plan_block
+
+    b, t, f, c = shape
+    f_pad = f + (-f) % 8
+    cp = c + (-c) % 128
+    plan = plan_block(t, f_pad, cp, 4 * c, 2, b)
+    assert plan is not None and plan[3] == want_pack
+    key = jax.random.PRNGKey(sum(shape))
+    p = make_block(key, c)
+    x = (jax.random.normal(jax.random.fold_in(key, 1), shape) * 0.5).astype(
+        jnp.bfloat16
+    )
+    assert rel_err(convnext_block(p, x), run_fused(x, p)) < 0.02
