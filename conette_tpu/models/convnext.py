@@ -294,16 +294,22 @@ def convnext_apply(
         # passes + unpipelined per-tile DMA). Golden-tested, opt-in.
         use_fused_dwconv_ln = False
     if use_fused_block is None:
-        # Default ON for inference: the fully-fused ConvNeXt block Pallas
-        # kernel (dwconv+LN+MLP+residual in one VMEM pass, double-buffered
-        # halo DMA) beats the XLA lowering on v5e (PROFILE.md r2).
-        # CONETTE_FUSED_BLOCK=0 forces it off (e.g. to trade peak
-        # throughput for cold-start compile time on fresh hosts).
+        # Default ON for bf16 TPU inference: the fully-fused ConvNeXt block
+        # Pallas kernel (dwconv+LN+MLP+residual in one VMEM pass,
+        # double-buffered halo DMA) beats the XLA lowering on v5e
+        # (PROFILE.md r2). Restricted to bf16 because the kernel's
+        # tanh-form GELU (~3e-4 abs) and single-pass LN sit below the bf16
+        # ulp but NOT below f32 resolution -- f32 runs (the
+        # reference-equivalent precision used by the greedy bit-match
+        # gate) keep the exact-erf XLA path. CONETTE_FUSED_BLOCK=0 forces
+        # it off (e.g. to trade peak throughput for cold-start compile
+        # time); use_fused_block=True opts an f32 run in explicitly.
         import os
 
         use_fused_block = (
             deterministic
             and jax.default_backend() == "tpu"
+            and jnp.dtype(compute_dtype) == jnp.bfloat16
             and os.environ.get("CONETTE_FUSED_BLOCK", "1") != "0"
         )
     feats = convnext_features(

@@ -35,6 +35,15 @@ def get_predict_args(argv: Optional[list[str]] = None) -> argparse.Namespace:
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--csv_export", type=str, default=None)
     parser.add_argument("--beam_size", type=int, default=None)
+    parser.add_argument(
+        "--dtype",
+        type=str,
+        default="float32",
+        choices=("float32", "bfloat16"),
+        help="Encoder compute dtype. float32 matches the reference "
+        "numerics exactly (XLA path); bfloat16 enables the fused TPU "
+        "block kernel for peak throughput.",
+    )
     parser.add_argument("--verbose", type=int, default=1)
     return parser.parse_args(argv)
 
@@ -49,9 +58,15 @@ def main_predict(argv: Optional[list[str]] = None) -> int:
 
     from conette_tpu.huggingface.model import CoNeTTEModel
 
+    import jax.numpy as jnp
+
     path = args.model_path if args.model_path is not None else args.model_name
     model = CoNeTTEModel.from_pretrained(
-        path, token=args.token, verbose=args.verbose, seed=args.seed
+        path,
+        token=args.token,
+        verbose=args.verbose,
+        seed=args.seed,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
 
     tasks = args.task
