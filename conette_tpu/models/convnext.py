@@ -157,6 +157,7 @@ def convnext_features(
     rng: jax.Array | None = None,
     fused_dwconv_ln: bool = False,
     fused_block: bool = False,
+    fused_interpret: bool = False,
 ) -> jax.Array:
     """(B, T, F, 1) NHWC log-mel → (B, T', F', 768) feature map.
 
@@ -199,6 +200,7 @@ def convnext_features(
                     block["pwconv2"]["bias"],
                     block["scale"],
                     eps=LN_EPS,
+                    interpret=fused_interpret,
                 )
                 block_idx += 1
             y = y[:, :, :f_real, :c_real]
@@ -237,6 +239,7 @@ def convnext_apply(
     use_fused_frontend: bool | None = None,
     use_fused_dwconv_ln: bool | None = None,
     use_fused_block: bool | None = None,
+    fused_interpret: bool = False,
 ) -> dict[str, jax.Array]:
     """Full encoder forward.
 
@@ -320,6 +323,7 @@ def convnext_apply(
         rng=rng,
         fused_dwconv_ln=use_fused_dwconv_ln,
         fused_block=use_fused_block,
+        fused_interpret=fused_interpret,
     )
     # (B, T', F', C) → mean over frequency → (B, T', C)
     frames = jnp.mean(feats.astype(jnp.float32), axis=2)

@@ -184,3 +184,28 @@ def test_freq_packed_matches_unfused(shape, want_pack):
         jnp.bfloat16
     )
     assert rel_err(convnext_block(p, x), run_fused(x, p)) < 0.02
+
+
+@pytest.mark.slow
+def test_convnext_apply_fused_matches_unfused_end_to_end():
+    """Model-level integration: the whole encoder with the fused block path
+    (stage padding, chaining, slicing, per-stage gating) must match the
+    unfused XLA path on a real waveform shape (CPU interpret mode)."""
+    from conette_tpu.models.convnext import convnext_apply, convnext_init
+
+    params = convnext_init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((2, 4 * 32_000)).astype(np.float32) * 0.1)
+    ref = convnext_apply(
+        params, wav, None, compute_dtype=jnp.bfloat16, use_fused_block=False
+    )
+    got = convnext_apply(
+        params, wav, None, compute_dtype=jnp.bfloat16,
+        use_fused_block=True, fused_interpret=True,
+    )
+    r = np.asarray(ref["frame_embs"], np.float32)
+    g = np.asarray(got["frame_embs"], np.float32)
+    assert np.abs(r - g).max() / np.abs(r).max() < 0.02
+    rc = np.asarray(ref["clipwise_output"], np.float32)
+    gc = np.asarray(got["clipwise_output"], np.float32)
+    assert np.abs(rc - gc).max() < 0.02
