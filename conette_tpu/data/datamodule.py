@@ -62,6 +62,8 @@ class HDFDataModule:
         seed: int = 1234,
         task_token_fn: Callable[[dict], int] | None = None,
         audio_transform: Callable[[np.ndarray], np.ndarray] | None = None,
+        process_rank: int = 0,
+        process_count: int = 1,
     ) -> None:
         if balance_mode not in BALANCE_MODES:
             raise ValueError(f"Invalid {balance_mode=}. (expected {BALANCE_MODES})")
@@ -76,6 +78,10 @@ class HDFDataModule:
         self.caption_quantum = caption_quantum
         self.caption_max_len = caption_max_len
         self.seed = seed
+        if not (0 <= process_rank < process_count):
+            raise ValueError(f"Invalid {process_rank=} for {process_count=}")
+        self.process_rank = process_rank
+        self.process_count = process_count
         self.task_token_fn = task_token_fn
         self.audio_transform = audio_transform
 
@@ -135,6 +141,20 @@ class HDFDataModule:
                 f"(vocab={self.tokenizer.get_vocab_size()})"
             )
 
+        # multi-host: every process must collate identical global shapes
+        # for jax.make_array_from_process_local_data, so the audio time
+        # axis is floored to the train-set max (captions are floored to
+        # caption_max_len in _collate)
+        self._audio_pad_to = 0
+        if self.process_count > 1 and len(train) > 0:
+            lens = []
+            for i in range(len(train)):
+                try:
+                    lens.append(int(train.at(i, "audio_lens")))
+                except Exception:
+                    lens.append(int(np.asarray(train.at(i, "audio")).shape[0]))
+            self._audio_pad_to = max(lens)
+
         self._val = [HDFDataset(p) for p in self.val_fpaths]
 
     def setup_test(self) -> None:
@@ -146,10 +166,21 @@ class HDFDataModule:
         return self._train
 
     # --------------------------------------------------------------- items
-    def _train_item(self, ds: AACDatasetLike, idx: int) -> dict[str, Any]:
+    def _train_item(
+        self, ds: AACDatasetLike, idx: int, epoch: int = 0
+    ) -> dict[str, Any]:
         item = ds[idx]
         refs = item["captions"]
-        ref = refs[int(self._rng.integers(len(refs)))] if isinstance(refs, list) else refs
+        if isinstance(refs, list):
+            # random 1-of-R reference (reference
+            # OnlineEncodeCaptionsTransform), derived from (seed, epoch,
+            # idx) so the choice is independent of iteration order — under
+            # multi-host sharding every process must agree on the caption
+            # row idx would get in the single-process run
+            item_rng = np.random.default_rng((self.seed, epoch, idx))
+            ref = refs[int(item_rng.integers(len(refs)))]
+        else:
+            ref = refs
         caps = self.tokenizer.encode_single(ref, add_bos_eos=True)
         caps = caps[: self.caption_max_len]
         audio = np.asarray(item["audio"], np.float32)
@@ -184,10 +215,21 @@ class HDFDataModule:
     # ------------------------------------------------------------ batching
     def _collate(self) -> CollateDict:
         pad = self.tokenizer.pad_token_id if self.tokenizer.is_fit() else 0
+        min_lengths: dict[str, int] = {}
+        min_first_axes: dict[str, int] = {}
+        if self.process_count > 1:
+            # fixed global shapes across processes (see setup_fit)
+            min_lengths = {
+                "captions": self.caption_max_len,
+                "mult_captions": self.caption_max_len,
+            }
+            min_first_axes = {"audio": getattr(self, "_audio_pad_to", 0)}
         return CollateDict(
             pad_values={"captions": pad, "mult_captions": pad, "audio": 0.0},
             length_quantums={"captions": self.caption_quantum,
                              "mult_captions": self.caption_quantum},
+            min_lengths=min_lengths,
+            min_first_axes=min_first_axes,
         )
 
     def _postprocess(self, batch: dict[str, Any]) -> dict[str, Any]:
@@ -211,15 +253,24 @@ class HDFDataModule:
         return batch
 
     def train_batches(self, epoch: int = 0) -> Iterator[dict[str, Any]]:
+        """Per-epoch shuffled local batches of ``bsize`` rows. Under
+        multi-host training each process yields its contiguous slice of the
+        global batch (``bsize × process_count`` rows): rank r takes rows
+        [r·bsize, (r+1)·bsize) of every global batch — the DDP
+        DistributedSampler twin, so the assembled global batch equals the
+        single-process run's batch row-for-row (the per-epoch permutation
+        is seed-deterministic and identical on all processes)."""
         assert self._train is not None, "call setup_fit() first"
         for sampler in self._samplers:
             sampler.resample()
         collate = self._collate()
         order = np.random.default_rng(self.seed + epoch).permutation(len(self._train))
-        n_full = len(order) // self.bsize
+        global_bsize = self.bsize * self.process_count
+        n_full = len(order) // global_bsize
         for b in range(n_full):
-            idxs = order[b * self.bsize : (b + 1) * self.bsize]
-            items = [self._train_item(self._train, int(i)) for i in idxs]
+            start = b * global_bsize + self.process_rank * self.bsize
+            idxs = order[start : start + self.bsize]
+            items = [self._train_item(self._train, int(i), epoch) for i in idxs]
             batch = collate(items)
             lens = np.asarray([it["audio_lens"] for it in items], np.int32)
             batch["audio_lens"] = lens

@@ -262,7 +262,24 @@ def forward_greedy(
     )
 
 
-def embed_tokens(params: Params, ids: jax.Array, dtype: Any = jnp.float32) -> jax.Array:
+def embed_tokens(
+    params: Params,
+    ids: jax.Array,
+    dtype: Any = jnp.float32,
+    pad_id: int | None = None,
+) -> jax.Array:
     """Token embedding lookup (pre-scale), used by the mixup training path
-    (``conette.py:207-210``)."""
-    return embedding(params["decoder"]["emb"], ids, dtype=dtype)
+    (``conette.py:207-210``).
+
+    :param pad_id: when given, the PAD row's gradient is frozen — torch
+        ``nn.Embedding(padding_idx=pad)`` semantics. This matters under
+        mixup: ``emb[pad]`` leaks into live positions of the mixing
+        partner, so without the freeze the (zero-initialized) PAD row
+        would drift during training (torch keeps it exactly zero).
+    """
+    emb = params["decoder"]["emb"]
+    if pad_id is not None:
+        weight = emb["weight"]
+        weight = weight.at[pad_id].set(jax.lax.stop_gradient(weight[pad_id]))
+        emb = {"weight": weight}
+    return embedding(emb, ids, dtype=dtype)

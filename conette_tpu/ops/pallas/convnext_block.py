@@ -14,7 +14,7 @@ This kernel runs the WHOLE block in VMEM per (batch, time-tile) program:
       -> 49-tap depthwise stencil, f32 acc (static slices; freq halo via
          an 8-aligned sublane offset into a pre-zeroed work buffer)
       -> LayerNorm over channels (f32 stats, padded lanes masked)
-      -> MXU: (t, F, C) @ (C, 4C) -> +b -> exact-erf GELU
+      -> MXU: (t, F, C) @ (C, 4C) -> +b -> tanh-form GELU (see ``_gelu``)
       -> MXU: @ (4C, C) -> +b -> layer-scale -> + residual (the tile
          center, still in VMEM -- no second HBM read)
       -> HBM (one write)
@@ -87,8 +87,10 @@ def _gelu(x: jax.Array) -> jax.Array:
 
 
 def pick_t_tile(t: int) -> int | None:
-    """Largest divisor of ``t`` in [8, 72] (VMEM-sized time tiles); None if
-    ``t`` has no usable divisor (caller falls back to the XLA path)."""
+    """Time-tile size: ``t`` itself when t <= 72 (single-tile path — may be
+    < 8; ``plan_block``'s sizing check still applies), else the largest
+    divisor of ``t`` in [8, 72]; None if ``t`` has no usable divisor
+    (caller falls back to the XLA path)."""
     if t <= 72:
         return t
     for tile in range(72, 7, -1):
@@ -120,6 +122,24 @@ def plan_block(
         tile for tile in range(best - 1, 15, -1) if t % tile == 0
     ]
 
+    def sizing_any(tile: int, chunk: int | None, pack: int) -> tuple[int, int]:
+        """(resident bytes, extra fshift bytes) for a candidate plan —
+        shared by the measured-plan fast path and the generic estimator."""
+        fp_all = (pack - 1) * (f_pad + PACK_GAP) + f_pad
+        width = _round8(F_OFF + fp_all + PAD)
+        win = t if tile == t else tile + 2 * PAD
+        fshift_b = 7 * (tile + 2 * PAD) * fp_all * cp * itemsize
+        mlp_rows_ = tile if chunk is None else chunk
+        # f32 h + compute-dtype h over the unchunked tile or one chunk
+        mlp_temp = mlp_rows_ * fp_all * h_dim * (4 + itemsize)
+        resident = weights_b + mlp_temp + itemsize * cp * (
+            2 * pack * win * f_pad  # DMA landing slots
+            + (tile + 2 * PAD) * width  # work
+            + tile * fp_all  # y
+            + 2 * pack * tile * f_pad  # double-buffered out blocks
+        )
+        return resident, fshift_b
+
     # measured-best configurations for the ConvNeXt-Tiny stage geometries
     # at bf16 (in-trace shootouts on v5e, batch 128 -- PROFILE.md r2);
     # the estimator below is the generic fallback. Keyed by
@@ -131,7 +151,16 @@ def plan_block(
             if pack > 1 and (b is None or b % pack):
                 pack = 1
             tile = min(tile_candidates, key=lambda x: abs(x - pref_tile))
-            if tile >= 16:
+            # the snap to the nearest divisor can land on an unmeasured
+            # tile (e.g. a prime T): re-validate against the same VMEM
+            # budgets the generic estimator enforces, else fall through
+            resident, fshift_b = sizing_any(tile, chunk, pack)
+            fits = (
+                resident + fshift_b < 12 * 1024 * 1024
+                if fshift
+                else resident < 14.5 * 1024 * 1024
+            )
+            if tile >= 16 and fits:
                 return tile, chunk, fshift, pack
 
     pack_candidates = [1]
@@ -142,21 +171,9 @@ def plan_block(
 
     def plan_for(pack: int):
         fp_all = (pack - 1) * (f_pad + PACK_GAP) + f_pad
-        width = _round8(F_OFF + fp_all + PAD)
 
         def sizing(tile: int, chunk: int | None):
-            win = t if tile == t else tile + 2 * PAD
-            fshift_b = 7 * (tile + 2 * PAD) * fp_all * cp * itemsize
-            mlp_rows_ = tile if chunk is None else chunk
-            # f32 h + compute-dtype h over the unchunked tile or one chunk
-            mlp_temp = mlp_rows_ * fp_all * h_dim * (4 + itemsize)
-            resident = weights_b + mlp_temp + itemsize * cp * (
-                2 * pack * win * f_pad  # DMA landing slots
-                + (tile + 2 * PAD) * width  # work
-                + tile * fp_all  # y
-                + 2 * pack * tile * f_pad  # double-buffered out blocks
-            )
-            return resident, fshift_b
+            return sizing_any(tile, chunk, pack)
 
         def chunks_for(tile: int):
             # unchunked when small; otherwise a ~2 MB-temp chunk, then the
@@ -389,12 +406,12 @@ def _fused_block_kernel(
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # exact-erf GELU; Mosaic lowers neither erf nor erfc, so erf is
-        # evaluated in-kernel (A&S 7.1.26, |err| <= 1.5e-7, below bf16 ulp)
-        # bias in f32, then GELU evaluated in compute dtype (bf16): the
-        # tanh-form error and bf16 rounding are both below bf16 ulp, and
-        # the elementwise passes over the 4C intermediate move half the
-        # bytes of an f32 evaluation
+        # tanh-form GELU (Mosaic lowers neither erf/erfc nor the bf16
+        # comparisons an erf polynomial needs -- see _gelu; |err| ~3e-4,
+        # below bf16 ulp): bias in f32, then GELU evaluated in compute
+        # dtype (bf16) -- the tanh-form error and bf16 rounding are both
+        # below bf16 ulp, and the elementwise passes over the 4C
+        # intermediate move half the bytes of an f32 evaluation
         h = _gelu((h + b1_ref[0]).astype(cdt))
         z = jax.lax.dot_general(
             h,

@@ -44,7 +44,41 @@ DATASETS = {
 }
 
 #: corpus metrics computable fully offline (no Java jars / SBERT weights)
-OFFLINE_CORPUS_METRICS = ("bleu_1", "bleu_2", "bleu_3", "bleu_4", "rouge_l", "cider_d")
+OFFLINE_CORPUS_METRICS = (
+    "bleu_1", "bleu_2", "bleu_3", "bleu_4", "rouge_l", "cider_d",
+    # diversity family (n=1..3; corpus mrefs uses the seeded subsample
+    # stream, reproduced bit-exactly via torch.Generator(123))
+    *(
+        f"{fam}{n}.{part}"
+        for n in (1, 2, 3)
+        for fam in ("sents_div", "corpus_div")
+        for part in ("cands", "mrefs", "ratio")
+    ),
+    # text-stats family
+    "sent_len.cands", "sent_len.mrefs", "sent_len.ratio",
+    "sent_len.cands.min", "sent_len.cands.max",
+    "vocab_len.cands", "vocab_len.mrefs_full", "vocab_len.ratio_full",
+    "vocab_len.mrefs_avg", "vocab_len.ratio_avg",
+    "vocab_coverage", "vocab_in_ref_len", "vocab_in_ref_ratio",
+    "empty_sents",
+    # new-words (train vocab == the reconstructed released-ckpt vocab)
+    "new_words",
+)
+
+#: per-sentence metrics validated against the published CSV columns
+#: (name here == CSV column suffix; note the reference's underscored
+#: ``sent_len_cands`` quirk)
+OFFLINE_SENT_METRICS = (
+    "cider_d", "rouge_l",
+    "bleu_1", "bleu_2", "bleu_3", "bleu_4",
+    *(
+        f"sents_div{n}.{part}"
+        for n in (1, 2, 3)
+        for part in ("cands", "mrefs", "ratio")
+    ),
+    "sent_len_cands", "sent_len.mrefs", "sent_len.ratio",
+    "empty_sents", "new_words",
+)
 
 
 def outputs_dir() -> str:
@@ -111,8 +145,9 @@ def load_corpus_scores(dataset: str, dirpath: str | None = None) -> dict[str, fl
         raw: Mapping[str, Any] = yaml.safe_load(file)
     out: dict[str, float] = {}
     for key, value in raw.items():
-        # keys look like "clotho_eval/best_fense.cands.bleu_1"
-        short = key.split(".")[-1]
+        # keys look like "clotho_eval/best_fense.cands.sents_div1.cands":
+        # strip "{corpus}/best_fense.cands." and keep the full metric name
+        short = key.split("/", 1)[-1].removeprefix("best_fense.cands.")
         if isinstance(value, (int, float)):
             out[short] = float(value)
     return out
@@ -190,26 +225,53 @@ def tokenizer_from_id_map(idmap: Mapping[int, str]):
 def compute_offline_corpus_scores(
     rows: Sequence[ReferenceRow],
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
-    """Corpus + per-sentence BLEU1-4 / ROUGE-L / CIDEr-D over the published
-    cands/mrefs. The published numbers were computed on PTB-tokenized text;
-    the candidates/references in the CSVs are already normalized (lowercase,
-    punctuation-free), where PTB tokenization == whitespace split."""
+    """The FULL offline scorecard over the published cands/mrefs: corpus +
+    per-sentence BLEU1-4 / ROUGE-L / CIDEr-D, the diversity family (n=1..3
+    incl. the seeded corpus-mrefs subsample), text stats, and new-words
+    against the reconstructed released-checkpoint vocab. The published
+    numbers were computed on PTB-tokenized text; the candidates/references
+    in the CSVs are already normalized (lowercase, punctuation-free), where
+    PTB tokenization == whitespace split."""
     from conette_tpu.metrics.functional.bleu import bleu
     from conette_tpu.metrics.functional.cider_d import cider_d
+    from conette_tpu.metrics.functional.diversity import (
+        diversity,
+        new_words,
+        text_stats,
+    )
     from conette_tpu.metrics.functional.rouge_l import rouge_l
 
     cands = [row.cands.split() for row in rows]
     mrefs = [[ref.split() for ref in row.mrefs] for row in rows]
 
-    corpus: dict[str, float] = dict(bleu(cands, mrefs))
+    bl = bleu(cands, mrefs)
+    corpus: dict[str, float] = {
+        k: v for k, v in bl.items() if not k.endswith("_sents")
+    }
+    sents: dict[str, list[float]] = {
+        k.removesuffix("_sents"): list(v)
+        for k, v in bl.items()
+        if k.endswith("_sents")
+    }
     rl = rouge_l(cands, mrefs)
     cd = cider_d(cands, mrefs)
     corpus["rouge_l"] = rl["rouge_l"]
     corpus["cider_d"] = cd["cider_d"]
-    sents = {
-        "rouge_l": list(rl["rouge_l_sents"]),
-        "cider_d": list(cd["cider_d_sents"]),
-    }
+    sents["rouge_l"] = list(rl["rouge_l_sents"])
+    sents["cider_d"] = list(cd["cider_d_sents"])
+
+    div_c, div_s = diversity(cands, mrefs, n_max=3)
+    ts_c, ts_s = text_stats(cands, mrefs)
+    corpus |= div_c | ts_c
+    sents |= div_s | ts_s
+
+    # the train vocab is not shipped, but the reconstructed released-ckpt
+    # vocab is a faithful stand-in: every emitted word has a token id, so
+    # new_words must be 0.0 — which is exactly the published value
+    idmap, _ = reconstruct_id_map(rows)
+    nw_c, nw_s = new_words(cands, train_vocab=set(idmap.values()))
+    corpus |= nw_c
+    sents |= nw_s
     return corpus, sents
 
 

@@ -75,10 +75,10 @@ class Validator:
         ref_toks = [[r.split() for r in refs] for refs in self._mrefs]
         scores: dict[str, float] = {}
         scores["val/cider_d"] = cider_d(cand_toks, ref_toks)["cider_d"]
-        scores |= {
-            f"val/{k}": v for k, v in diversity(cand_toks, ref_toks).items()
-        }
-        scores |= {f"val/{k}": v for k, v in text_stats(cand_toks).items()}
+        div_corpus, _ = diversity(cand_toks, ref_toks, n_max=1)
+        ts_corpus, _ = text_stats(cand_toks, ref_toks)
+        scores |= {f"val/{k}": v for k, v in div_corpus.items()}
+        scores |= {f"val/{k}": v for k, v in ts_corpus.items()}
         if any("fense" in m for m in self.monitors) and fense_mod.is_available():
             try:
                 scores["val/fense"] = fense_mod.fense(self._cands, self._mrefs)["fense"]

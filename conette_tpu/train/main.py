@@ -134,6 +134,10 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         caption_quantum=int(dm_cfg.get("caption_quantum", 4)),
         caption_max_len=int(dm_cfg.get("caption_max_len", 64)),
         seed=seed,
+        # multi-host: each process feeds its slice of the global batch
+        # (DDP DistributedSampler twin; global bsize = bsize × processes)
+        process_rank=jax.process_index(),
+        process_count=jax.process_count(),
     )
     dm.setup_fit()
     dm.setup_test()

@@ -92,11 +92,16 @@ def training_loss(
     rng: jax.Array,
     *,
     use_mixup: bool = True,
+    mixup_override: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """One training-step loss on a batch with keys ``audio`` (B, T, 768),
     ``audio_lens`` (B,), ``captions`` (B, L) (first column already rewritten
     to the task token, parity with ``on_after_batch_transfer``,
-    ``conette.py:527-550``)."""
+    ``conette.py:527-550``).
+
+    :param mixup_override: optional (λ, perm) replacing the sampled mixup
+        randomness — used by the torch train-step golden to drive both
+        frameworks with identical mixing."""
     audio = batch["audio"]
     audio_lens = batch["audio_lens"]
     captions = batch["captions"]
@@ -108,11 +113,14 @@ def training_loss(
     caps_out = captions[:, 1:]
     caps_in_pad_mask = caps_in == cfg.pad_id
 
-    caps_emb = embed_tokens(params, caps_in, dtype=audio.dtype)
+    caps_emb = embed_tokens(params, caps_in, dtype=audio.dtype, pad_id=cfg.pad_id)
 
     if use_mixup:
-        idx = randperm_diff(k_perm, b)
-        lbd = sample_lambda(k_lbd, cfg.mixup_alpha, asymmetric=True)
+        if mixup_override is not None:
+            lbd, idx = mixup_override
+        else:
+            idx = randperm_diff(k_perm, b)
+            lbd = sample_lambda(k_lbd, cfg.mixup_alpha, asymmetric=True)
         audio = audio * lbd + audio[idx] * (1.0 - lbd)
         audio_lens = jnp.maximum(audio_lens, audio_lens[idx])
         caps_emb = caps_emb * lbd + caps_emb[idx] * (1.0 - lbd)

@@ -35,17 +35,17 @@ def main() -> int:
         got, sents = parity.compute_offline_corpus_scores(rows)
 
         print(f"\n== {dataset} ({len(rows)} clips) ==")
-        print(f"{'metric':<10} {'ours':>12} {'published':>12} {'absdiff':>10}")
+        print(f"{'metric':<22} {'ours':>14} {'published':>14} {'absdiff':>10}")
         for metric in parity.OFFLINE_CORPUS_METRICS:
             diff = abs(got[metric] - published[metric])
             ok &= diff <= 1e-6
             flag = "" if diff <= 1e-6 else "  <-- MISMATCH"
             print(
-                f"{metric:<10} {got[metric]:>12.8f} "
-                f"{published[metric]:>12.8f} {diff:>10.2e}{flag}"
+                f"{metric:<22} {got[metric]:>14.8f} "
+                f"{published[metric]:>14.8f} {diff:>10.2e}{flag}"
             )
 
-        for metric in ("cider_d", "rouge_l"):
+        for metric in parity.OFFLINE_SENT_METRICS:
             max_diff = max(
                 abs(s - row.sent_scores[metric])
                 for s, row in zip(sents[metric], rows)

@@ -85,7 +85,10 @@ def run_gate(model, fixture_rows, audio_dir: str, published: dict | None,
 
     cands_tok = [r.caption.split() for r in results]
     refs_tok = [[ref.split() for ref in refs] for refs in mrefs]
-    scores = dict(bleu(cands_tok, refs_tok))
+    scores = {
+        k: v for k, v in bleu(cands_tok, refs_tok).items()
+        if not k.endswith("_sents")
+    }
     scores["rouge_l"] = rouge_l(cands_tok, refs_tok)["rouge_l"]
     scores["cider_d"] = cider_d(cands_tok, refs_tok)["cider_d"]
     report["scores"] = scores

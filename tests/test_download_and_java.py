@@ -205,11 +205,18 @@ def test_fense_with_fake_sbert(monkeypatch):
                 out.append(r.standard_normal(16))
             return _np.stack(out)
 
+    from conette_tpu.metrics.functional.fluency import ERROR_NAMES
+
+    def fluency_fn(sents):
+        # second sentence above the 0.9 error threshold
+        err = _np.array([0.1, 0.95])
+        return {f"{n}_prob": err for n in ERROR_NAMES}
+
     monkeypatch.setitem(fense_mod._CACHE, "model", FakeModel())
     out = fense_mod.fense(
         ["a dog barks", "rain falls"],
         [["a dog barks", "a dog is barking"], ["water flows"]],
-        fluency_fn=lambda sents: [False, True],
+        fluency_fn=fluency_fn,
     )
     assert out["fense_sents"][0] == pytest.approx(out["sbert_sim_sents"][0])
     # flagged sentence penalized by x0.1

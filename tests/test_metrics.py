@@ -104,38 +104,221 @@ class TestCiderD:
 
 class TestDiversityStats:
     def test_diversity_unique(self):
-        out = diversity([["a", "b", "c"]], max_n=1)
-        np.testing.assert_allclose(out["sent_div1"], 1.0)
+        corpus, sents = diversity([["a", "b", "c"]], [[["a", "b"]]], n_max=1)
+        np.testing.assert_allclose(corpus["sents_div1.cands"], 1.0)
+        np.testing.assert_allclose(sents["sents_div1.cands"], [1.0])
 
     def test_diversity_repeats(self):
-        out = diversity([["a", "a", "a", "a"]], max_n=1)
-        np.testing.assert_allclose(out["sent_div1"], 0.25)
+        corpus, _ = diversity([["a", "a", "a", "a"]], [[["a", "b"]]], n_max=1)
+        np.testing.assert_allclose(corpus["sents_div1.cands"], 0.25)
+
+    def test_diversity_ratio_zero_when_ref_empty(self):
+        # reference semantics: per-sentence ratio is 0 where the ref
+        # diversity is 0 (diversity.py:113-116)
+        corpus, sents = diversity([["a", "b"]], [[[]]], n_max=1)
+        assert sents["sents_div1.ratio"] == [0.0]
 
     def test_text_stats(self):
-        out = text_stats(CANDS, REFS)
-        assert out["sent_len_mean"] == pytest.approx(
+        corpus, sents = text_stats(CANDS, REFS)
+        assert corpus["sent_len.cands"] == pytest.approx(
             (len(CANDS[0]) + len(CANDS[1]) + len(CANDS[2])) / 3
         )
-        assert out["empty_rate"] == 0.0
-        assert 0.0 < out["vocab_coverage"] <= 1.0
+        assert corpus["empty_sents"] == 0.0
+        assert 0.0 < corpus["vocab_coverage"] <= 1.0
+        assert corpus["vocab_in_ref_ratio"] <= 1.0
+        # per-sentence CSV quirk: underscored key (reference
+        # text_stats.py:96-101)
+        assert len(sents["sent_len_cands"]) == len(CANDS)
 
     def test_new_words(self):
-        out = new_words([["a", "zebra"]], train_vocab=["a", "dog"])
-        assert out["new_words_count"] == 1.0
-        assert out["new_words"] == ["zebra"]
+        corpus, sents = new_words([["a", "zebra"]], train_vocab=["a", "dog"])
+        assert corpus["new_words"] == 1.0
+        assert sents["new_words"] == [1.0]
+
+    def test_new_words_counts_unique_per_sentence(self):
+        # "zebra zebra" is ONE new unique word; corpus = mean over sents
+        corpus, sents = new_words(
+            [["zebra", "zebra"], ["a"]], train_vocab=["a"]
+        )
+        assert sents["new_words"] == [1.0, 0.0]
+        assert corpus["new_words"] == 0.5
 
 
 class TestAllMetrics:
     def test_computes_available_and_skips_gated(self):
-        am = AllMetrics(train_vocab=["a", "dog", "rain"], use_java=False, use_fense=False)
+        am = AllMetrics(
+            train_vocab=["a", "dog", "rain"],
+            use_java=False, use_fense=False, use_bert_score=False,
+        )
         corpus, sents = am(
             [" ".join(c) for c in CANDS],
             [[" ".join(r) for r in refs] for refs in REFS],
         )
-        for key in ("bleu_1", "bleu_4", "rouge_l", "cider_d", "vocab_size"):
+        for key in (
+            "bleu_1", "bleu_4", "rouge_l", "cider_d",
+            "sents_div1.cands", "corpus_div3.ratio",
+            "sent_len.cands", "vocab_len.cands", "new_words",
+        ):
             assert key in corpus, key
         assert "spice" not in corpus  # gated (no java jar)
         assert len(sents["cider_d"]) == 3
+        assert len(sents["bleu_4"]) == 3
+        assert len(sents["sents_div2.ratio"]) == 3
+
+
+class TestFluencyAndFense:
+    def test_fluency_outputs_threshold_and_keys(self):
+        from conette_tpu.metrics.functional.fluency import (
+            ERROR_NAMES,
+            fluency_outputs,
+        )
+
+        probs = {f"{n}_prob": np.array([0.1, 0.95]) for n in ERROR_NAMES}
+        corpus, sents = fluency_outputs(probs)
+        assert sents["fer"] == [0.0, 1.0]  # error_prob > 0.9 flags
+        assert corpus["fer"] == 0.5
+        for n in ERROR_NAMES:
+            assert corpus[f"fer.{n}_prob"] == pytest.approx(0.525)
+
+    def test_fense_applies_echecker_penalty(self, monkeypatch):
+        from conette_tpu.metrics.functional import fense as fense_mod
+
+        class FakeSbert:
+            def encode(self, sents, show_progress_bar=False):
+                # "bad" maps opposite to everything else
+                return np.array(
+                    [[1.0, 0.0] if "bad" not in s else [0.0, 1.0] for s in sents]
+                )
+
+        monkeypatch.setitem(fense_mod._CACHE, "model", FakeSbert())
+
+        def fluency_fn(sents):
+            from conette_tpu.metrics.functional.fluency import ERROR_NAMES
+
+            err = np.array([0.99 if "bad" in s else 0.01 for s in sents])
+            return {f"{n}_prob": err for n in ERROR_NAMES}
+
+        out = fense_mod.fense(
+            ["a dog barks", "bad bad caption"],
+            [["a dog barks"], ["a dog barks"]],
+            fluency_fn=fluency_fn,
+        )
+        # fluent caption: sim 1.0, no penalty; disfluent: sim 0 x 0.1
+        assert out["fense_sents"][0] == pytest.approx(1.0)
+        assert out["fer_sents"] == [0.0, 1.0]
+        assert out["sbert_sim_sents"][1] == pytest.approx(0.0, abs=1e-9)
+        assert out["fense_sents"][1] == pytest.approx(0.0, abs=1e-9)
+        assert "fer.add_tail_prob" in out
+
+    def test_fense_without_echecker_warns_and_equals_sbert(
+        self, monkeypatch, caplog
+    ):
+        import logging
+
+        from conette_tpu.metrics.functional import fense as fense_mod
+        from conette_tpu.metrics.functional import fluency as fluency_mod
+
+        class FakeSbert:
+            def encode(self, sents, show_progress_bar=False):
+                return np.ones((len(sents), 4))
+
+        monkeypatch.setitem(fense_mod._CACHE, "model", FakeSbert())
+        monkeypatch.setitem(fluency_mod._CACHE, "echecker", None)
+        with caplog.at_level(logging.WARNING):
+            out = fense_mod.fense(["a"], [["b"]])
+        assert out["fense"] == out["sbert_sim"]
+        assert any("WITHOUT the fluency-error checker" in r.message
+                   for r in caplog.records)
+
+    def test_echecker_env_gating(self, monkeypatch):
+        from conette_tpu.metrics.functional import fluency as fluency_mod
+
+        monkeypatch.delitem(fluency_mod._CACHE, "echecker", raising=False)
+        monkeypatch.delenv("CONETTE_ECHECKER_MODEL", raising=False)
+        assert fluency_mod.load_echecker() is None
+        assert not fluency_mod.echecker_available()
+
+
+class TestBertScore:
+    def test_greedy_matching_with_fake_embedder(self):
+        from conette_tpu.metrics.functional.bert_score import bert_score
+
+        vecs = {"a": [1.0, 0.0], "b": [0.0, 1.0], "c": [1.0, 1.0]}
+
+        def embed_fn(sents):
+            return [
+                np.array([vecs[w] for w in s.split()], np.float64) for s in sents
+            ]
+
+        out = bert_score(["a b"], [["a b", "b b"]], embed_fn=embed_fn)
+        # identical ref matches perfectly and wins the max-reduction
+        assert out["bert_score.precision"] == pytest.approx(1.0)
+        assert out["bert_score.recall"] == pytest.approx(1.0)
+        assert out["bert_score.f1"] == pytest.approx(1.0)
+        assert out["bert_score.f1_sents"] == [pytest.approx(1.0)]
+
+    def test_partial_overlap(self):
+        from conette_tpu.metrics.functional.bert_score import bert_score
+
+        def embed_fn(sents):
+            basis = {"a": [1.0, 0.0], "b": [0.0, 1.0]}
+            return [
+                np.array([basis[w] for w in s.split()], np.float64) for s in sents
+            ]
+
+        out = bert_score(["a b"], [["a a"]], embed_fn=embed_fn)
+        # precision: cand tokens (a->1, b->0) = 0.5; recall: both ref a's -> 1
+        assert out["bert_score.precision"] == pytest.approx(0.5)
+        assert out["bert_score.recall"] == pytest.approx(1.0)
+
+
+class TestSpiderFlWiring:
+    def test_all_metrics_emits_spider_fl_with_fakes(self, monkeypatch):
+        from conette_tpu.metrics import all_metrics as am_mod
+
+        # fake java SPICE so spider exists
+        monkeypatch.setattr(am_mod.java_metrics, "meteor_available", lambda: False)
+        monkeypatch.setattr(am_mod.java_metrics, "spice_available", lambda: True)
+        monkeypatch.setattr(
+            am_mod.java_metrics,
+            "spice",
+            lambda cands, mrefs: {
+                "spice": 0.2,
+                "spice_sents": [0.2] * len(cands),
+            },
+        )
+        # fake fense with an echecker flagging the second caption
+        monkeypatch.setattr(am_mod.fense_mod, "is_available", lambda: True)
+
+        def fake_fense(cands, mrefs):
+            fer = [0.0] * len(cands)
+            fer[-1] = 1.0
+            return {
+                "fense": 0.5,
+                "fense_sents": [0.5] * len(cands),
+                "sbert_sim": 0.5,
+                "sbert_sim_sents": [0.5] * len(cands),
+                "fer": sum(fer) / len(fer),
+                "fer_sents": fer,
+            }
+
+        monkeypatch.setattr(am_mod.fense_mod, "fense", fake_fense)
+        monkeypatch.setattr(
+            am_mod.bert_score_mod, "is_available", lambda: False
+        )
+
+        am = AllMetrics(use_java=True, use_fense=True)
+        corpus, sents = am(
+            [" ".join(c) for c in CANDS],
+            [[" ".join(r) for r in refs] for refs in REFS],
+        )
+        assert "spider" in corpus and "spider_fl" in corpus
+        # flagged sentence: spider x (1 - 0.9)
+        assert sents["spider_fl"][-1] == pytest.approx(sents["spider"][-1] * 0.1)
+        assert sents["spider_fl"][0] == pytest.approx(sents["spider"][0])
+        assert corpus["spider_fl"] == pytest.approx(
+            sum(sents["spider_fl"]) / len(sents["spider_fl"])
+        )
 
 
 class TestCrossReferencing:

@@ -50,13 +50,66 @@ def test_corpus_scores_match_published(dataset_rows) -> None:
 def test_per_sentence_scores_match_published(dataset_rows) -> None:
     dataset, rows = dataset_rows
     _, sents = parity.compute_offline_corpus_scores(rows)
-    for metric in ("cider_d", "rouge_l"):
+    for metric in parity.OFFLINE_SENT_METRICS:
+        assert all(metric in row.sent_scores for row in rows), (
+            f"{dataset}: column {metric} missing from published CSV"
+        )
         mismatches = [
             (i, got, row.sent_scores[metric])
             for i, (got, row) in enumerate(zip(sents[metric], rows))
             if abs(got - row.sent_scores[metric]) > 1e-6
         ]
         assert mismatches == [], f"{dataset} {metric}: {mismatches[:5]}"
+
+
+def test_fense_and_spider_fl_composition_matches_published(dataset_rows) -> None:
+    """The FENSE / SPIDEr-FL composition layer (fer = error_prob > 0.9,
+    score × (1 − 0.9·fer), corpus = mean of sentences) reproduces the
+    published ``fer`` / ``fense`` / ``spider_fl`` columns exactly when fed
+    the published ``sbert_sim`` / ``spider`` / ``fer.error_prob`` inputs —
+    i.e. everything downstream of the gated models is proven offline."""
+    import numpy as np
+
+    from conette_tpu.metrics.functional.fense import apply_fluency_penalty
+    from conette_tpu.metrics.functional.fluency import ERROR_NAMES, fluency_outputs
+
+    dataset, rows = dataset_rows
+    published = parity.load_corpus_scores(dataset)
+
+    probs = {
+        f"{name}_prob": np.asarray(
+            [row.sent_scores[f"fer.{name}_prob"] for row in rows]
+        )
+        for name in ERROR_NAMES
+    }
+    fer_corpus, fer_sents = fluency_outputs(probs)
+
+    np.testing.assert_array_equal(
+        fer_sents["fer"], [row.sent_scores["fer"] for row in rows]
+    )
+    assert fer_corpus["fer"] == pytest.approx(published["fer"], abs=1e-6)
+    for name in ERROR_NAMES:
+        assert fer_corpus[f"fer.{name}_prob"] == pytest.approx(
+            published[f"fer.{name}_prob"], abs=1e-6
+        )
+
+    sbert = [row.sent_scores["sbert_sim"] for row in rows]
+    fense_sents = apply_fluency_penalty(sbert, fer_sents["fer"])
+    np.testing.assert_allclose(
+        fense_sents, [row.sent_scores["fense"] for row in rows], atol=1e-12
+    )
+    assert sum(fense_sents) / len(fense_sents) == pytest.approx(
+        published["fense"], abs=1e-6
+    )
+
+    spider = [row.sent_scores["spider"] for row in rows]
+    spider_fl = apply_fluency_penalty(spider, fer_sents["fer"])
+    np.testing.assert_allclose(
+        spider_fl, [row.sent_scores["spider_fl"] for row in rows], atol=1e-12
+    )
+    assert sum(spider_fl) / len(spider_fl) == pytest.approx(
+        published["spider_fl"], abs=1e-6
+    )
 
 
 def test_id_map_reconstructs_without_conflicts(dataset_rows) -> None:
