@@ -41,7 +41,7 @@ FLOPS_PER_CLIP = 45.2e9
 V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
 
 
-def bench_tpu() -> float:
+def bench_tpu(batch: int = BATCH, iters: int = 5) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -87,9 +87,9 @@ def bench_tpu() -> float:
         return res.best_preds, res.best_avg_lprobs
 
     rng = np.random.default_rng(0)
-    waveform = jnp.asarray(rng.standard_normal((BATCH, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
-    lens = jnp.full((BATCH,), CLIP_SECONDS * SR, jnp.int32)
-    bos_ids = jnp.full((BATCH,), 4, jnp.int32)
+    waveform = jnp.asarray(rng.standard_normal((batch, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
+    lens = jnp.full((batch,), CLIP_SECONDS * SR, jnp.int32)
+    bos_ids = jnp.full((batch,), 4, jnp.int32)
 
     # warmup/compile — fetch to host to force completion (block_until_ready
     # is unreliable over tunneled PJRT backends)
@@ -97,7 +97,6 @@ def bench_tpu() -> float:
         pipeline(enc_params, model_params, waveform, jnp.float32(0), lens, bos_ids)[0]
     )
 
-    iters = 5
     t0 = time.perf_counter()
     outs = [
         pipeline(enc_params, model_params, waveform, jnp.float32(i + 1), lens, bos_ids)
@@ -106,7 +105,7 @@ def bench_tpu() -> float:
     for preds, lprobs in outs:
         np.asarray(preds)  # force completion + host fetch of the token ids
     dt = time.perf_counter() - t0
-    return BATCH * iters / dt
+    return batch * iters / dt
 
 
 def bench_cpu_torch() -> float:
@@ -342,7 +341,23 @@ def profile() -> int:
     return 0
 
 
+def sweep() -> int:
+    """--sweep: bench several batch sizes back-to-back in ONE process (the
+    ~30 ms serialized relay tax amortizes with batch; within-session
+    comparison — the time-sliced chip makes cross-run deltas meaningless)."""
+    out = {}
+    for batch in (128, 256, 384, 512):
+        try:
+            out[batch] = round(bench_tpu(batch, iters=3), 1)
+        except Exception as err:  # OOM etc.
+            out[batch] = f"failed: {err}"
+        print(json.dumps({"batch_sweep": out}))
+    return 0
+
+
 if __name__ == "__main__":
     if "--profile" in sys.argv:
         sys.exit(profile())
+    if "--sweep" in sys.argv:
+        sys.exit(sweep())
     sys.exit(main())

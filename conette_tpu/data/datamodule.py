@@ -64,6 +64,7 @@ class HDFDataModule:
         audio_transform: Callable[[np.ndarray], np.ndarray] | None = None,
         process_rank: int = 0,
         process_count: int = 1,
+        fixed_shapes: bool = False,
     ) -> None:
         if balance_mode not in BALANCE_MODES:
             raise ValueError(f"Invalid {balance_mode=}. (expected {BALANCE_MODES})")
@@ -82,6 +83,10 @@ class HDFDataModule:
             raise ValueError(f"Invalid {process_rank=} for {process_count=}")
         self.process_rank = process_rank
         self.process_count = process_count
+        # fixed global pad shapes: mandatory under multi-host (every
+        # process must collate the same global shapes), opt-in otherwise
+        # (one compiled train-step shape instead of one per batch-max)
+        self.fixed_shapes = fixed_shapes or process_count > 1
         self.task_token_fn = task_token_fn
         self.audio_transform = audio_transform
 
@@ -146,7 +151,7 @@ class HDFDataModule:
         # axis is floored to the train-set max (captions are floored to
         # caption_max_len in _collate)
         self._audio_pad_to = 0
-        if self.process_count > 1 and len(train) > 0:
+        if self.fixed_shapes and len(train) > 0:
             lens = []
             for i in range(len(train)):
                 try:
@@ -217,7 +222,7 @@ class HDFDataModule:
         pad = self.tokenizer.pad_token_id if self.tokenizer.is_fit() else 0
         min_lengths: dict[str, int] = {}
         min_first_axes: dict[str, int] = {}
-        if self.process_count > 1:
+        if self.fixed_shapes:
             # fixed global shapes across processes (see setup_fit)
             min_lengths = {
                 "captions": self.caption_max_len,

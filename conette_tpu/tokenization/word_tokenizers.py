@@ -109,6 +109,22 @@ class StrTokenizer:
 _CONTRACTION_RE = re.compile(
     r"(?i)(n't|'s|'re|'ve|'ll|'d|'m)$",
 )
+# spacy en tokenizer-exception table entries plausible in caption text
+# (spacy.lang.en.tokenizer_exceptions): fused forms split at fixed points,
+# "o'clock" kept whole (the suffix rule would otherwise split at the
+# apostrophe). Keys lowercase — the pipeline lowercases pre-tokenization.
+_EXCEPTIONS: dict[str, list[str]] = {
+    "cannot": ["can", "not"],
+    "gonna": ["gon", "na"],
+    "gotta": ["got", "ta"],
+    "wanna": ["wan", "na"],
+    "lemme": ["lem", "me"],
+    "gimme": ["gim", "me"],
+    "outta": ["out", "ta"],
+    "kinda": ["kind", "a"],
+    "sorta": ["sort", "a"],
+    "o'clock": ["o'clock"],
+}
 # Punctuation characters treated as standalone tokens when attached to a word.
 _EDGE_PUNCT = ",.!?;:\"'()[]{}<>…"
 
@@ -153,11 +169,15 @@ class RegexWordTokenizer(StrTokenizer):
             suffix.insert(0, chunk[-1])
             chunk = chunk[:-1]
         parts: list[str] = []
-        m = _CONTRACTION_RE.search(chunk)
-        if m is not None and m.start() > 0:
-            parts = [chunk[: m.start()], chunk[m.start() :]]
+        exc = _EXCEPTIONS.get(chunk)
+        if exc is not None:
+            parts = list(exc)
         else:
-            parts = [chunk] if chunk else []
+            m = _CONTRACTION_RE.search(chunk)
+            if m is not None and m.start() > 0:
+                parts = [chunk[: m.start()], chunk[m.start() :]]
+            else:
+                parts = [chunk] if chunk else []
         return prefix + parts + suffix
 
 

@@ -48,19 +48,27 @@ def spec_augment(
     time_stripes_num: int = 2,
     freq_drop_width: int = 28,
     freq_stripes_num: int = 2,
+    row_ids: jax.Array | None = None,
 ) -> jax.Array:
     """(B, T, F) spectrogram/embedding SpecAugment (PANN-style; defaults are
-    the reference ConvNeXt settings, ``convnext.py:184-191``)."""
-    b, t, f = x.shape
+    the reference ConvNeXt settings, ``convnext.py:184-191``).
 
-    def one(key, xi):
-        kt, kf = jax.random.split(key)
+    :param row_ids: per-row fold-in ids (default ``arange(B)``). Each row's
+        stripes depend only on ``(key, row_id)``, not the batch size —
+        multi-host training passes GLOBAL row ids so every process draws
+        the stripes its rows would get in the single-process run."""
+    b, t, f = x.shape
+    if row_ids is None:
+        row_ids = jnp.arange(b)
+
+    def one(rid, xi):
+        kt, kf = jax.random.split(jax.random.fold_in(key, rid))
         tmask = _stripe_mask(kt, t, time_drop_width, time_stripes_num)
         fmask = _stripe_mask(kf, f, freq_drop_width, freq_stripes_num)
         keep = ~(tmask[:, None] | fmask[None, :])
         return jnp.where(keep, xi, 0.0)
 
-    return jax.vmap(one)(jax.random.split(key, b), x)
+    return jax.vmap(one)(row_ids, x)
 
 
 def spec_augment_ratio(
@@ -70,6 +78,7 @@ def spec_augment_ratio(
     time_stripes_num: int = 2,
     freq_drop_ratio: float = 0.125,
     freq_stripes_num: int = 2,
+    row_ids: jax.Array | None = None,
 ) -> jax.Array:
     """SpecAugment with stripe width as a ratio of the dimension — the
     production train-time transform applied to frame embeddings
@@ -82,6 +91,7 @@ def spec_augment_ratio(
         time_stripes_num=time_stripes_num,
         freq_drop_width=max(int(f * freq_drop_ratio), 1),
         freq_stripes_num=freq_stripes_num,
+        row_ids=row_ids,
     )
 
 

@@ -138,6 +138,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         # (DDP DistributedSampler twin; global bsize = bsize × processes)
         process_rank=jax.process_index(),
         process_count=jax.process_count(),
+        fixed_shapes=bool(dm_cfg.get("fixed_shapes", False)),
     )
     dm.setup_fit()
     dm.setup_test()
@@ -423,6 +424,14 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     aug_rng = jax.random.fold_in(rng, 7)
     aug_jit = jax.jit(spec_aug_fn) if spec_aug_fn is not None else None
 
+    # spec-aug stripes are keyed per GLOBAL row (fold_in of the row id, not
+    # a batch-size-dependent split) so each process draws exactly the
+    # stripes its rows would get in the single-process run — what makes the
+    # 2-process full-fit equality test hold with augmentation ON
+    aug_row_ids = jnp.asarray(
+        jax.process_index() * dm.bsize + np.arange(dm.bsize), jnp.int32
+    )
+
     def to_train_batch(b: dict, step: int) -> dict:
         batch = {
             "audio": jnp.asarray(b["audio"]),
@@ -430,7 +439,10 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             "captions": jnp.asarray(b["captions"]),
         }
         if aug_jit is not None:
-            batch["audio"] = aug_jit(jax.random.fold_in(aug_rng, step), batch["audio"])
+            batch["audio"] = aug_jit(
+                jax.random.fold_in(aug_rng, step), batch["audio"],
+                row_ids=aug_row_ids,
+            )
         return batch
 
     def run_validation(epoch: int) -> dict:

@@ -6,17 +6,39 @@ test strategy in SURVEY.md §4. The environment may pre-import jax with a
 TPU plugin (JAX_PLATFORMS=axon via sitecustomize), so the platform must be
 re-pinned through ``jax.config`` before any backend initialization rather
 than through env vars alone.
+
+On-device kernel goldens: tests marked ``tpu`` are skipped here and run on
+real hardware with ``CONETTE_TESTS_TPU=1 python -m pytest -m tpu`` (that
+env var disables the CPU pin; run ONLY the ``tpu`` selection then — the
+rest of the suite expects the 8-device CPU mesh).
 """
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+import pytest
+
+_ON_TPU = os.environ.get("CONETTE_TESTS_TPU") == "1"
+
+if not _ON_TPU:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    if _ON_TPU:
+        return
+    skip = pytest.mark.skip(
+        reason="on-device golden: run with CONETTE_TESTS_TPU=1 -m tpu on a TPU host"
+    )
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

@@ -345,6 +345,27 @@ class TestAugment:
         y2 = np.asarray(spec_augment_ratio(jax.random.PRNGKey(1), x))
         assert (y2 == 0).any()
 
+    def test_spec_augment_row_ids_batch_invariant(self):
+        """A row's stripes depend only on (key, row_id): a process feeding
+        rows [4..8) of the global batch with row_ids=[4..8) draws exactly
+        the stripes those rows get in the full-batch call (multi-host
+        equality precondition; see main.py to_train_batch)."""
+        import jax
+        import jax.numpy as jnp
+        from conette_tpu.train.augment import spec_augment
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((8, 32, 16)).astype(np.float32)
+        key = jax.random.PRNGKey(7)
+        full = np.asarray(spec_augment(key, jnp.asarray(x), 8, 2, 4, 2))
+        part = np.asarray(
+            spec_augment(
+                key, jnp.asarray(x[4:]), 8, 2, 4, 2,
+                row_ids=jnp.arange(4, 8),
+            )
+        )
+        np.testing.assert_array_equal(part, full[4:])
+
     def test_speed_perturb_shape_static(self):
         import jax
         from conette_tpu.train.augment import speed_perturb

@@ -37,7 +37,9 @@ def make_block(key, c):
     return p
 
 
-def run_fused(x, p, **kw):
+def run_fused(x, p, interpret=True, **kw):
+    # interpret=False is used by the on-device goldens
+    # (tests/test_pallas_tpu_goldens.py) to exercise the Mosaic lowering
     return fused_convnext_block(
         x,
         p["dwconv"]["weight"],
@@ -50,7 +52,7 @@ def run_fused(x, p, **kw):
         p["pwconv2"]["bias"],
         p["scale"],
         eps=LN_EPS,
-        interpret=True,
+        interpret=interpret,
         **kw,
     )
 
