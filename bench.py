@@ -24,7 +24,10 @@ import time
 
 import numpy as np
 
-BATCH = 128
+# 384 measured best in the within-session sweep (BATCH_SWEEP r3: 128:696,
+# 256:710, 384:720, 512:707 clips/s) -- amortizes the ~30 ms serialized
+# relay dispatch tax without hitting the 512 regression
+BATCH = 384
 CLIP_SECONDS = 10
 SR = 32_000
 VOCAB = 4000

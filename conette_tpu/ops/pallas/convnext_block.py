@@ -53,6 +53,13 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = 3  # 7x7 stencil halo
 F_OFF = 8  # 8-aligned sublane offset of the real freq columns in `work`
 STENCIL_ROWS = 4  # stencil/LN row chunk (keeps the f32 acc in vregs)
+# trace-time experiment switches (within-trace shootout hooks; both shot
+# down on v5e -- see PROFILE.md r3 -- kept for reproducibility):
+# LN lane stats via a skinny MXU matmul instead of VPU reduction trees
+_LN_STATS_MXU = False
+# store the 7 aligned tap buffers in f32 (drops the per-tap bf16->f32
+# cast at 2x the fshift VMEM; needs a small-tile plan)
+_FSHIFT_F32 = False
 PACK_GAP = 8  # zero columns between packed segments (>= PAD, 8-aligned)
 
 # In-trace measured plans per ConvNeXt-Tiny stage geometry at bf16
@@ -358,7 +365,7 @@ def _fused_block_kernel(
         for df in range(7):
             fshift_ref[df] = work_ref[
                 :, df + F_OFF - PAD : df + F_OFF - PAD + fp_all, :
-            ]
+            ].astype(fshift_ref.dtype)
     for r0 in range(0, t_tile, STENCIL_ROWS):
         rows = min(STENCIL_ROWS, t_tile - r0)
         acc = None
@@ -386,8 +393,22 @@ def _fused_block_kernel(
         # sums equal the real-lane sums -- no lane masking needed; variance
         # via E[x^2] - m^2 in f32 (single reduction pass each).
         inv_c = 1.0 / c_real
-        mean = jnp.sum(acc, axis=-1, keepdims=True) * inv_c
-        sumsq = jnp.sum(acc * acc, axis=-1, keepdims=True) * inv_c
+        if _LN_STATS_MXU:
+            # lane reductions as one skinny MXU matmul: [acc, acc*acc] @
+            # ones(C, 1) -- cross-lane VPU reduction trees replaced by a
+            # systolic pass (shootout-gated; see PROFILE.md r3)
+            ones = jnp.ones((acc.shape[-1], 1), jnp.float32)
+            stacked = jnp.concatenate([acc, acc * acc], axis=0)
+            sums = jax.lax.dot_general(
+                stacked, ones,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mean = sums[: acc.shape[0]] * inv_c
+            sumsq = sums[acc.shape[0] :] * inv_c
+        else:
+            mean = jnp.sum(acc, axis=-1, keepdims=True) * inv_c
+            sumsq = jnp.sum(acc * acc, axis=-1, keepdims=True) * inv_c
         var = sumsq - mean * mean
         yc = (acc - mean) * jax.lax.rsqrt(var + eps)
         # gamma is zero on padded lanes, so yc's nonzero -mean there is
@@ -538,7 +559,7 @@ def fused_convnext_block_padded(
             pltpu.VMEM((t_tile, fp_all, cp), cdt),
             pltpu.VMEM(
                 (7, t_tile + 2 * PAD, fp_all, cp) if use_fshift else (1, 1, 8, 128),
-                cdt,
+                jnp.float32 if (_FSHIFT_F32 and use_fshift) else cdt,
             ),
             pltpu.SemaphoreType.DMA((2, pack)),
         ],
