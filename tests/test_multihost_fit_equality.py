@@ -11,10 +11,12 @@ under multiple processes. This test does:
   slice of every global batch, so the assembled global batch is
   row-identical to run A's);
 
-then asserts per-step train losses and the final best-checkpoint
-parameters are equal (1e-5; same global mesh/shardings → same XLA
-reductions). Reference handoff being mirrored: PL DDP fit +
-single-rank eval (``train.py:419-433,489-496``).
+then asserts per-step train losses (≤1e-5) and the final best-checkpoint
+parameters (≤1e-4) are equal — in FULL production config: dropout AND
+spec-aug on (shape-identical collation makes the RNG draws value-identical
+across process topologies). Reference handoff being mirrored: PL DDP fit +
+single-rank eval (``train.py:419-433,489-496``) — which does NOT have this
+property (per-rank torch RNG streams).
 """
 
 import json
@@ -60,11 +62,9 @@ _WORKER = textwrap.dedent(
         "pl.d_model=32", "pl.nhead=2", "pl.num_decoder_layers=2",
         "pl.dim_feedforward=64", "pl.max_pred_size=6", "pl.min_pred_size=1",
         "pl.beam_size=1",
-        # dropout draws one mask over the whole (sharded) activation, so
-        # per-position draws can't be made process-local-invariant the way
-        # spec-aug rows are; the equality claim (like any DDP-vs-single-GPU
-        # one) is modulo dropout RNG — proven with dropout off, spec-aug ON
-        "pl.proj_dropout_p=0.0", "pl.decoder_dropout_p=0.0",
+        # note: dropout and spec-aug both stay ON (production config) —
+        # with shape-identical collation the RNG draws are value-identical
+        # across process topologies (threefry is deterministic per shape)
         "log_root=" + os.environ["LOG_ROOT"],
     ])
     print("RUN_DIR::" + out["run_dir"])
