@@ -132,6 +132,25 @@ def test_blocks_chain_in_padded_layout():
     assert rel_err(ref, y[:, :, :f, :c]) < 0.02
 
 
+@pytest.mark.parametrize("flag", ["_LN_STATS_MXU", "_FSHIFT_F32"])
+def test_experiment_flags_preserve_numerics(flag, monkeypatch):
+    """The trace-time shootout switches (LN stats via MXU, f32 tap
+    buffers — both perf-neutral on v5e, PROFILE.md r3) must stay
+    numerically equivalent so re-running the shootouts is always safe."""
+    import conette_tpu.ops.pallas.convnext_block as cb
+
+    b, t, f, c = 1, 16, 14, 128
+    key = jax.random.PRNGKey(5)
+    p = make_block(key, c)
+    x = (jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, c)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    base = run_fused(x, p)
+    monkeypatch.setattr(cb, flag, True)
+    toggled = run_fused(x, p)
+    assert rel_err(base, toggled) < 5e-3
+
+
 def test_pick_t_tile():
     assert pick_t_tile(31) == 31  # single tile
     assert pick_t_tile(252) == 63
