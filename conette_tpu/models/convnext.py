@@ -40,6 +40,13 @@ from conette_tpu.models.layers import (
 )
 from conette_tpu.ops.frontend import DEFAULT_LOGMEL, LogMelConfig, logmel_spectrogram
 
+# Keep the encoder in the stage-padded layout across the stem + downsample
+# seams (no pad/unpad copies of the big activations). Measured WORSE on
+# v5e (+4.6 ms end-to-end, 150.8 vs 146.2 ms interleaved A/B, PROFILE.md
+# r3): the padded-lane conv FLOPs and the lost slice-into-LN fusion
+# outweigh the copy savings. Kept as a tested, reproducible design point.
+_PADDED_SEAMS = False
+
 DEPTHS = (3, 3, 9, 3)
 DIMS = (96, 192, 384, 768)
 NUM_AUDIOSET_CLASSES = 527
@@ -131,19 +138,109 @@ def convnext_block(
     return shortcut + y
 
 
-def _stage_fusible(y: jax.Array, deterministic: bool, drop_path_rate: float) -> bool:
+def _stage_fusible_shape(
+    shape: tuple[int, int, int, int],
+    dtype: Any,
+    deterministic: bool,
+    drop_path_rate: float,
+) -> bool:
     """The fused Pallas block kernel handles inference (no drop-path rng)
     on time lengths with a usable tile divisor, when the stage's weights +
-    tile buffers fit the VMEM plan (e.g. the C=768 stage at f32 does not)."""
+    tile buffers fit the VMEM plan (e.g. the C=768 stage at f32 does not).
+    ``shape`` is the REAL (b, t, f, c) extent (pre-padding)."""
     from conette_tpu.ops.pallas.convnext_block import plan_block
 
     if not (deterministic or drop_path_rate == 0.0):
         return False
-    b, t, f, c = y.shape
+    b, t, f, c = shape
     f_pad = f + (-f) % 8
     cp = c + (-c) % 128
-    itemsize = jnp.dtype(y.dtype).itemsize
+    itemsize = jnp.dtype(dtype).itemsize
     return plan_block(t, f_pad, cp, 4 * c, itemsize, b) is not None
+
+
+def _stage_fusible(y: jax.Array, deterministic: bool, drop_path_rate: float) -> bool:
+    return _stage_fusible_shape(y.shape, y.dtype, deterministic, drop_path_rate)
+
+
+def _padded_layer_norm(
+    p: Params, y: jax.Array, c_real: int, eps: float
+) -> jax.Array:
+    """LayerNorm over the REAL channels of a zero-lane-padded NHWC tensor.
+    Padded lanes are exactly zero, so plain full-lane sums ÷ ``c_real``
+    give the real-lane stats (same invariant the fused block kernel uses),
+    and the zero-padded affine re-zeroes the padded lanes."""
+    from conette_tpu.ops.pallas.convnext_block import pad_channels
+
+    c_pad = y.shape[-1]
+    x32 = y.astype(jnp.float32)
+    mean = jnp.sum(x32, axis=-1, keepdims=True) / c_real
+    sumsq = jnp.sum(x32 * x32, axis=-1, keepdims=True) / c_real
+    var = sumsq - mean * mean
+    xhat = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    w = pad_channels(p["weight"], c_pad)
+    b = pad_channels(p["bias"], c_pad)
+    return (xhat * w + b).astype(y.dtype)
+
+
+def _padded_stem(params: Params, x: jax.Array, stride, padding) -> tuple[jax.Array, int, int]:
+    """Stem conv + LN emitting the stage-padded layout directly (out
+    channels zero-padded to 128 lanes) — skips the full-size ``pad_fc``
+    copy of the stage-1 input, the largest tensor in the encoder."""
+    from conette_tpu.ops.pallas.convnext_block import pad_channels
+
+    w = params["stem"]["conv"]["weight"]  # (4, 4, 1, C)
+    c_real = w.shape[-1]
+    c_pad = c_real + (-c_real) % 128
+    wp = pad_channels(w, c_pad, axis=3)
+    bp = pad_channels(params["stem"]["conv"]["bias"], c_pad)
+    y = jax.lax.conv_general_dilated(
+        x, wp.astype(x.dtype), stride, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = (y + bp.astype(jnp.float32)).astype(x.dtype)
+    f_real = y.shape[2]
+    pad_f = (-f_real) % 8
+    if pad_f:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad_f), (0, 0)))
+    y = _padded_layer_norm(params["stem"]["norm"], y, c_real, LN_EPS)
+    return y, f_real, c_real
+
+
+def _padded_downsample(
+    ds: Params, y: jax.Array, f_real: int, c_real: int
+) -> tuple[jax.Array, int, int]:
+    """LN + 2×2/2 downsample conv directly on the stage-padded layout —
+    replaces the unpad-slice → LN → conv → re-pad round trip between fused
+    stage chains. Zero-padded weights/bias make padded input lanes inert
+    and keep padded output lanes zero; output freq columns beyond the new
+    real extent are re-zeroed (the conv bias would otherwise leak into
+    them) and the freq axis is re-padded to the next 8-multiple."""
+    from conette_tpu.ops.pallas.convnext_block import pad_channels
+
+    assert f_real % 2 == 0, f_real  # ConvNeXt-Tiny boundaries are all even
+    y = _padded_layer_norm(ds["norm"], y, c_real, LN_EPS)
+    w = ds["conv"]["weight"]  # (2, 2, Cin, Cout)
+    c_out = w.shape[-1]
+    cp_in = y.shape[-1]
+    cp_out = c_out + (-c_out) % 128
+    wp = pad_channels(pad_channels(w, cp_in, axis=2), cp_out, axis=3)
+    bp = pad_channels(ds["conv"]["bias"], cp_out)
+    yc = jax.lax.conv_general_dilated(
+        y, wp.astype(y.dtype), (2, 2), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    yc = (yc + bp.astype(jnp.float32)).astype(y.dtype)
+    f_next = f_real // 2
+    if yc.shape[2] > f_next:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, yc.shape[2], 1), 2)
+        yc = jnp.where(col < f_next, yc, jnp.zeros_like(yc))
+    pad_f = (-yc.shape[2]) % 8
+    if pad_f:
+        yc = jnp.pad(yc, ((0, 0), (0, 0), (0, pad_f), (0, 0)))
+    return yc, f_next, c_out
 
 
 def convnext_features(
@@ -162,12 +259,21 @@ def convnext_features(
     """(B, T, F, 1) NHWC log-mel → (B, T', F', 768) feature map.
 
     ``fused_block`` routes each stage through the fully-fused Pallas block
-    kernel (``ops/pallas/convnext_block.py``): the stage pads F/C once to
-    the (8, 128) DMA tiling, chains its blocks in the padded layout (one
-    HBM read + write per block instead of ~16 XLA passes) and slices back
-    before the downsample conv."""
-    y = conv2d(params["stem"]["conv"], x, stride=stem_stride, padding=stem_padding)
-    y = layer_norm(params["stem"]["norm"], y, eps=LN_EPS)
+    kernel (``ops/pallas/convnext_block.py``), and the whole encoder stays
+    in the stage-padded (F→8k, C→128k, zero-pad) layout end to end: the
+    stem emits it directly and the downsample LN+conv consume/produce it
+    (``_padded_stem`` / ``_padded_downsample``) — one HBM read + write per
+    block and no pad/unpad copies of the big activations between stages.
+    Stages whose VMEM plan does not fit fall back to the XLA blocks (the
+    tensor is sliced back to the real extent for them)."""
+    padded = False
+    f_real = c_real = 0
+    if fused_block and _PADDED_SEAMS:
+        y, f_real, c_real = _padded_stem(params, x, stem_stride, stem_padding)
+        padded = True
+    else:
+        y = conv2d(params["stem"]["conv"], x, stride=stem_stride, padding=stem_padding)
+        y = layer_norm(params["stem"]["norm"], y, eps=LN_EPS)
 
     depths = [len(s) for s in params["stages"]]
     total = sum(depths)
@@ -175,16 +281,30 @@ def convnext_features(
     for i, stage in enumerate(params["stages"]):
         if i > 0:
             ds = params["downsample"][i - 1]
-            y = layer_norm(ds["norm"], y, eps=LN_EPS)
-            y = conv2d(ds["conv"], y, stride=(2, 2))
-        if fused_block and _stage_fusible(y, deterministic, drop_path_rate):
+            if padded and _PADDED_SEAMS:
+                y, f_real, c_real = _padded_downsample(ds, y, f_real, c_real)
+            else:
+                if padded:
+                    y = y[:, :, :f_real, :c_real]
+                    padded = False
+                y = layer_norm(ds["norm"], y, eps=LN_EPS)
+                y = conv2d(ds["conv"], y, stride=(2, 2))
+
+        real_shape = (
+            (y.shape[0], y.shape[1], f_real, c_real) if padded else y.shape
+        )
+        if fused_block and _stage_fusible_shape(
+            real_shape, y.dtype, deterministic, drop_path_rate
+        ):
             from conette_tpu.ops.pallas.convnext_block import (
                 fused_convnext_block_padded,
                 pad_fc,
             )
 
-            _, _, f_real, c_real = y.shape
-            y = pad_fc(y)
+            if not padded:
+                _, _, f_real, c_real = y.shape
+                y = pad_fc(y)
+                padded = True
             for block in stage:
                 y = fused_convnext_block_padded(
                     y,
@@ -203,8 +323,10 @@ def convnext_features(
                     interpret=fused_interpret,
                 )
                 block_idx += 1
-            y = y[:, :, :f_real, :c_real]
             continue
+        if padded:
+            y = y[:, :, :f_real, :c_real]
+            padded = False
         for block in stage:
             dp = drop_path_rate * block_idx / max(total - 1, 1)
             brng = (
@@ -219,6 +341,8 @@ def convnext_features(
                 fused_dwconv_ln=fused_dwconv_ln,
             )
             block_idx += 1
+    if padded:
+        y = y[:, :, :f_real, :c_real]
     return y
 
 
