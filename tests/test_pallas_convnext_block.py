@@ -208,6 +208,28 @@ def test_freq_packed_matches_unfused(shape, want_pack):
 
 
 @pytest.mark.slow
+def test_padded_seams_match_default_path(monkeypatch):
+    """The default-off padded-seam path (stem + downsample LN/conv in the
+    stage-padded layout; measured slower on v5e, PROFILE.md r3) must stay
+    numerically equivalent so the design point remains reproducible."""
+    import conette_tpu.models.convnext as cx
+
+    params = cx.convnext_init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(
+        rng.standard_normal((1, 96, 224, 1)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    base = cx.convnext_features(
+        params, mel, fused_block=True, fused_interpret=True
+    )
+    monkeypatch.setattr(cx, "_PADDED_SEAMS", True)
+    toggled = cx.convnext_features(
+        params, mel, fused_block=True, fused_interpret=True
+    )
+    assert rel_err(base, toggled) < 0.02
+
+
+@pytest.mark.slow
 def test_convnext_apply_fused_matches_unfused_end_to_end():
     """Model-level integration: the whole encoder with the fused block path
     (stage padding, chaining, slicing, per-stage gating) must match the
