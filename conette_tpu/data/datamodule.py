@@ -34,7 +34,6 @@ from conette_tpu.data.datasets import (
     AACConcat,
     AACDatasetLike,
     AACDuplicate,
-    AACSubset,
     WrapperSampler,
 )
 from conette_tpu.data.hdf import HDFDataset
@@ -43,6 +42,19 @@ from conette_tpu.tokenization import AACTokenizer
 pylog = logging.getLogger(__name__)
 
 BALANCE_MODES = ("none", "main_hdf_duplicate", "main_hdf_min", "main_hdf_balanced")
+
+
+def _item_audio_len(ds: AACDatasetLike, i: int) -> int:
+    """True audio time length of one item WITHOUT reading the audio bytes
+    when a length/shape column exists."""
+    try:
+        return int(ds.at(i, "audio_lens"))
+    except Exception:
+        pass
+    try:
+        return int(np.asarray(ds.at(i, "audio_shape"))[0])
+    except Exception:
+        return int(np.asarray(ds.at(i, "audio")).shape[0])
 
 
 class HDFDataModule:
@@ -90,7 +102,6 @@ class HDFDataModule:
         self.task_token_fn = task_token_fn
         self.audio_transform = audio_transform
 
-        self._rng = np.random.default_rng(seed)
         self._train: AACDatasetLike | None = None
         self._val: list[HDFDataset] = []
         self._test: list[HDFDataset] = []
@@ -149,16 +160,18 @@ class HDFDataModule:
         # multi-host: every process must collate identical global shapes
         # for jax.make_array_from_process_local_data, so the audio time
         # axis is floored to the train-set max (captions are floored to
-        # caption_max_len in _collate)
+        # caption_max_len in _collate). The probe runs over the RAW source
+        # datasets, not the balanced view: WrapperSampler re-subsamples
+        # every epoch, so any source item can appear later — the bound
+        # must cover them all. Lengths come from the stored audio_lens /
+        # audio_shape columns; reading full audio rows is the last resort.
         self._audio_pad_to = 0
-        if self.fixed_shapes and len(train) > 0:
+        if self.fixed_shapes:
             lens = []
-            for i in range(len(train)):
-                try:
-                    lens.append(int(train.at(i, "audio_lens")))
-                except Exception:
-                    lens.append(int(np.asarray(train.at(i, "audio")).shape[0]))
-            self._audio_pad_to = max(lens)
+            for ds in datasets:
+                for i in range(len(ds)):
+                    lens.append(_item_audio_len(ds, i))
+            self._audio_pad_to = max(lens, default=0)
 
         self._val = [HDFDataset(p) for p in self.val_fpaths]
 

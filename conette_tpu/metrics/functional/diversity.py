@@ -291,11 +291,15 @@ def text_stats(
 def new_words(
     candidates: Sequence,
     mult_references: Sequence[Sequence] | None = None,
+    *,
     train_vocab: Iterable[str] = (),
     tokenizer: Callable[[str], list[str]] = str.split,
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Unique candidate tokens outside the train vocab; corpus = mean of
-    per-sentence counts (reference new_words.py:16-42)."""
+    per-sentence counts (reference new_words.py:16-42). ``mult_references``
+    exists for reference signature parity and is unused (the reference
+    ignores it too, new_words.py:24-26); ``train_vocab`` is keyword-only so
+    a legacy positional call cannot silently bind it there."""
     tok_cands, _ = _tokenize_all(candidates, None, tokenizer)
     vocab = set(train_vocab)
     counts = [float(len(set(c) - vocab)) for c in tok_cands]

@@ -201,10 +201,13 @@ def _padded_stem(params: Params, x: jax.Array, stride, padding) -> tuple[jax.Arr
     )
     y = (y + bp.astype(jnp.float32)).astype(x.dtype)
     f_real = y.shape[2]
+    # LN BEFORE the freq pad: LN of an all-zero padded column would be
+    # 0·gamma + beta = beta ≠ 0, violating the block kernel's zero-padded-F
+    # invariant (its stencil reads padded columns as halo)
+    y = _padded_layer_norm(params["stem"]["norm"], y, c_real, LN_EPS)
     pad_f = (-f_real) % 8
     if pad_f:
         y = jnp.pad(y, ((0, 0), (0, 0), (0, pad_f), (0, 0)))
-    y = _padded_layer_norm(params["stem"]["norm"], y, c_real, LN_EPS)
     return y, f_real, c_real
 
 

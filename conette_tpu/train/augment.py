@@ -25,17 +25,29 @@ from conette_tpu.train.objective import sample_lambda
 
 
 def _stripe_mask(
-    key: jax.Array, dim_size: int, width: int, n_stripes: int
+    key: jax.Array,
+    dim_size: int,
+    width: jax.Array | int,
+    n_stripes: int,
+    valid: jax.Array | int | None = None,
 ) -> jax.Array:
     """(dim_size,) bool mask with ``n_stripes`` random stripes of random
-    width in [0, width) (PANN DropStripes semantics)."""
+    width in [0, width) (PANN DropStripes semantics).
+
+    :param width: max stripe width — may be a traced per-row value.
+    :param valid: true extent of the axis; stripes are placed within
+        [0, valid) so padding never absorbs them (defaults to
+        ``dim_size``)."""
+    v = jnp.asarray(dim_size if valid is None else valid, jnp.int32)
     keys = jax.random.split(key, 2 * n_stripes)
     mask = jnp.zeros((dim_size,), bool)
     idx = jnp.arange(dim_size)
     for i in range(n_stripes):
-        w = jax.random.randint(keys[2 * i], (), 0, max(width, 1))
+        w = jax.random.randint(
+            keys[2 * i], (), 0, jnp.maximum(jnp.asarray(width, jnp.int32), 1)
+        )
         start = jax.random.randint(
-            keys[2 * i + 1], (), 0, jnp.maximum(dim_size - w, 1)
+            keys[2 * i + 1], (), 0, jnp.maximum(v - w, 1)
         )
         mask = mask | ((idx >= start) & (idx < start + w))
     return mask
@@ -44,11 +56,12 @@ def _stripe_mask(
 def spec_augment(
     key: jax.Array,
     x: jax.Array,
-    time_drop_width: int = 64,
+    time_drop_width: jax.Array | int = 64,
     time_stripes_num: int = 2,
     freq_drop_width: int = 28,
     freq_stripes_num: int = 2,
     row_ids: jax.Array | None = None,
+    time_valid: jax.Array | None = None,
 ) -> jax.Array:
     """(B, T, F) spectrogram/embedding SpecAugment (PANN-style; defaults are
     the reference ConvNeXt settings, ``convnext.py:184-191``).
@@ -56,19 +69,30 @@ def spec_augment(
     :param row_ids: per-row fold-in ids (default ``arange(B)``). Each row's
         stripes depend only on ``(key, row_id)``, not the batch size —
         multi-host training passes GLOBAL row ids so every process draws
-        the stripes its rows would get in the single-process run."""
+        the stripes its rows would get in the single-process run.
+    :param time_valid: (B,) true time lengths; when given, time stripes
+        are placed within each row's real extent (and ``time_drop_width``
+        may be per-row), so the augmentation is invariant to how far the
+        batch is padded — unlike the reference, whose stripes can land
+        entirely inside padding for short clips."""
     b, t, f = x.shape
     if row_ids is None:
         row_ids = jnp.arange(b)
+    tv = (
+        jnp.full((b,), t, jnp.int32)
+        if time_valid is None
+        else jnp.asarray(time_valid, jnp.int32)
+    )
+    tw = jnp.broadcast_to(jnp.asarray(time_drop_width, jnp.int32), (b,))
 
-    def one(rid, xi):
+    def one(rid, xi, tvi, twi):
         kt, kf = jax.random.split(jax.random.fold_in(key, rid))
-        tmask = _stripe_mask(kt, t, time_drop_width, time_stripes_num)
+        tmask = _stripe_mask(kt, t, twi, time_stripes_num, valid=tvi)
         fmask = _stripe_mask(kf, f, freq_drop_width, freq_stripes_num)
         keep = ~(tmask[:, None] | fmask[None, :])
         return jnp.where(keep, xi, 0.0)
 
-    return jax.vmap(one)(row_ids, x)
+    return jax.vmap(one)(row_ids, x, tv, tw)
 
 
 def spec_augment_ratio(
@@ -79,19 +103,33 @@ def spec_augment_ratio(
     freq_drop_ratio: float = 0.125,
     freq_stripes_num: int = 2,
     row_ids: jax.Array | None = None,
+    time_valid: jax.Array | None = None,
 ) -> jax.Array:
     """SpecAugment with stripe width as a ratio of the dimension — the
     production train-time transform applied to frame embeddings
-    (``spec_aug.py:153-262``, ``conf/audio_t/spec_aug_ratio_emb.yaml``)."""
+    (``spec_aug.py:153-262``, ``conf/audio_t/spec_aug_ratio_emb.yaml``).
+    With ``time_valid`` the time ratio applies to each row's REAL length,
+    so stripes neither shrink nor drift into padding however far the batch
+    is padded (e.g. under multi-host fixed shapes)."""
     b, t, f = x.shape
+    if time_valid is None:
+        time_w: jax.Array | int = max(int(t * time_drop_ratio), 1)
+    else:
+        time_w = jnp.maximum(
+            (jnp.asarray(time_valid, jnp.float32) * time_drop_ratio).astype(
+                jnp.int32
+            ),
+            1,
+        )
     return spec_augment(
         key,
         x,
-        time_drop_width=max(int(t * time_drop_ratio), 1),
+        time_drop_width=time_w,
         time_stripes_num=time_stripes_num,
         freq_drop_width=max(int(f * freq_drop_ratio), 1),
         freq_stripes_num=freq_stripes_num,
         row_ids=row_ids,
+        time_valid=time_valid,
     )
 
 

@@ -439,9 +439,12 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             "captions": jnp.asarray(b["captions"]),
         }
         if aug_jit is not None:
+            # time_valid: stripes sized/placed within each row's REAL
+            # length, so the augmentation is invariant to pad width
+            # (batch-max vs dataset-max fixed shapes)
             batch["audio"] = aug_jit(
                 jax.random.fold_in(aug_rng, step), batch["audio"],
-                row_ids=aug_row_ids,
+                row_ids=aug_row_ids, time_valid=batch["audio_lens"],
             )
         return batch
 
