@@ -122,7 +122,24 @@ class Evaluator:
         dataset: str = "unknown",
         subset: str = "test",
         lprobs: Sequence[float] | None = None,
+        preds: Any = None,
+        mpreds: Any = None,
+        mlprobs: Any = None,
+        mcands: Sequence[Sequence[str]] | None = None,
+        losses: Sequence[Sequence[float]] | None = None,
     ) -> None:
+        """``preds``/``mpreds``/``mlprobs``/``mcands``/``losses`` are the
+        reference's extra per-clip columns (token ids of the best beam /
+        all beams, all-beam avg lprobs, all-beam decodes, per-reference
+        forced losses — the ``outputs_*.csv`` schema the published
+        detailed_outputs use); optional for callers that only score."""
+
+        def opt(seq, i):
+            if seq is None:
+                return None
+            v = seq[i]
+            return v.tolist() if hasattr(v, "tolist") else v
+
         for i, (cand, refs) in enumerate(zip(cands, mrefs)):
             self._rows.append(
                 {
@@ -132,6 +149,11 @@ class Evaluator:
                     "dataset": dataset,
                     "subset": subset,
                     "lprob": float(lprobs[i]) if lprobs is not None else None,
+                    "preds": opt(preds, i),
+                    "mpreds": opt(mpreds, i),
+                    "mlprobs": opt(mlprobs, i),
+                    "mcands": list(mcands[i]) if mcands is not None else None,
+                    "losses": opt(losses, i),
                 }
             )
 
@@ -160,17 +182,29 @@ class Evaluator:
                 corpus_scores, sent_scores = {}, {}
                 pylog.info(f"Skipping scoring for corpus {corpus_name}")
 
+            # reference outputs_*.csv schema (aac_evaluator.py:466-497 /
+            # the published detailed_outputs): token/beam/loss columns
+            # first, then "{model}.cands.{metric}" per-sentence scores —
+            # so a run's own artifacts round-trip through the same parity
+            # tooling that validates the published ones
             csv_rows = []
             for i, row in enumerate(rows):
                 out_row = {
+                    "losses": row["losses"],
+                    "preds": row["preds"],
+                    "lprobs": row["lprob"],
+                    "mpreds": row["mpreds"],
+                    "mlprobs": row["mlprobs"],
+                    "cands": row["candidate"],
+                    "mcands": row["mcands"],
+                    "mrefs": row["references"],
                     "fname": row["fname"],
-                    "candidate": row["candidate"],
-                    "lprob": row["lprob"],
+                    "index": i,
+                    "dataset": row["dataset"],
+                    "subset": row["subset"],
                 }
                 for k, vals in sent_scores.items():
-                    out_row[k] = vals[i]
-                for j, ref in enumerate(row["references"]):
-                    out_row[f"reference_{j}"] = ref
+                    out_row[f"{self.model_name}.cands.{k}"] = vals[i]
                 csv_rows.append(out_row)
             export_outputs_csv(
                 os.path.join(

@@ -461,7 +461,9 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             }
             val_losses.append(float(val_loss_fn(state.params, vb)))
             bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-            preds, _ = gen_fn(state.params, vb["audio"], vb["audio_lens"], bos, forbid)
+            preds, _, _, _ = gen_fn(
+                state.params, vb["audio"], vb["audio_lens"], bos, forbid
+            )
             cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
             validator.add_batch(cands, b["mult_references"])
         metrics = validator.compute()
@@ -605,6 +607,11 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
                 train_vocab=list(tokenizer.get_vocab()),
             ),
         )
+        from conette_tpu.train.objective import per_ref_losses
+
+        test_losses_fn = jax.jit(
+            lambda p, batch: per_ref_losses(p, model_cfg, batch)
+        )
         for dl_idx in range(dm.num_eval_loaders("test")):
             for j, b in enumerate(dm.eval_batches("test", dl_idx)):
                 if lim_test is not None and j >= lim_test:
@@ -612,8 +619,31 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
                 audio = jnp.asarray(b["audio"])
                 lens = jnp.asarray(b["audio_lens"])
                 bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-                preds, lprobs = gen_fn_test(best_params, audio, lens, bos, forbid)
+                preds, lprobs, mpreds, mlprobs = gen_fn_test(
+                    best_params, audio, lens, bos, forbid
+                )
                 cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
+                mp = np.asarray(mpreds)
+                mcands = [
+                    _decode_preds(tokenizer, model_cfg.eos_id, mp[i])
+                    for i in range(mp.shape[0])
+                ]
+                # per-(clip, ref) forced losses — the reference's `losses`
+                # CSV column (test_step, conette.py:293-350)
+                loss_mat, loss_valid = test_losses_fn(
+                    best_params,
+                    {
+                        "audio": audio,
+                        "audio_lens": lens,
+                        "mult_captions": jnp.asarray(b["mult_captions"]),
+                    },
+                )
+                loss_mat = np.asarray(loss_mat)
+                loss_valid = np.asarray(loss_valid)
+                losses = [
+                    [float(x) for x, ok in zip(row, okr) if ok]
+                    for row, okr in zip(loss_mat, loss_valid)
+                ]
                 evaluator.add_batch(
                     cands,
                     b["mult_references"],
@@ -621,6 +651,11 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
                     dataset=b["dataset"][0] if b.get("dataset") else "unknown",
                     subset=b["subset"][0] if b.get("subset") else "test",
                     lprobs=np.asarray(lprobs),
+                    preds=np.asarray(preds),
+                    mpreds=mp,
+                    mlprobs=np.asarray(mlprobs),
+                    mcands=mcands,
+                    losses=losses,
                 )
         test_scores = evaluator.compute_and_export()
         for corpus, scores in test_scores.items():
@@ -678,6 +713,10 @@ def _make_gen_fn(model_cfg, method: str = "generate"):
 
     @jax.jit
     def gen(params, audio, lens, bos, forbid):
+        """→ (best_preds, best_avg_lprobs, all_beams, all_avg_lprobs) —
+        the full decode surface the reference logs per clip (the published
+        CSVs' preds/lprobs/mpreds/mlprobs columns); greedy is a 1-beam
+        view of the same contract."""
         memory, pad_mask = encode_audio(params, model_cfg, audio, lens)
         if method == "greedy":
             g = forward_greedy(
@@ -689,11 +728,16 @@ def _make_gen_fn(model_cfg, method: str = "generate"):
             avg = jnp.sum(jnp.where(valid, sel, 0.0), axis=1) / jnp.maximum(
                 valid.sum(axis=1), 1
             )
-            return g.preds, avg
+            return g.preds, avg, g.preds[:, None], avg[:, None]
         res = forward_generate(
             params, model_cfg, memory, pad_mask, bos, forbid_rep_mask=forbid
         )
-        return res.best_preds, res.best_avg_lprobs
+        return (
+            res.best_preds,
+            res.best_avg_lprobs,
+            res.global_preds,
+            res.global_avg_lprobs,
+        )
 
     return gen
 

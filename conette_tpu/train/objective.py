@@ -142,18 +142,18 @@ def training_loss(
     return label_smoothed_ce(logits, caps_out, cfg.pad_id, cfg.label_smoothing)
 
 
-def validation_loss(
+def per_ref_losses(
     params: Params,
     cfg: ConetteConfig,
     batch: dict[str, jax.Array],
-) -> jax.Array:
-    """Mean per-caption forced loss over all references
-    (parity: ``conette.py:233-291`` validation_step). ``mult_captions``
-    is (B, R, L); rows whose caption is all pad are skipped."""
+) -> tuple[jax.Array, jax.Array]:
+    """Per-(clip, reference) teacher-forced CE over ``mult_captions``
+    (B, R, L) → (losses (B, R), valid (B, R)); all-pad reference rows are
+    marked invalid. This is the reference's per-caption test/val ``losses``
+    column (``conette.py:233-350``, the published CSVs' first column)."""
     audio = batch["audio"]
     audio_lens = batch["audio_lens"]
     mult_caps = batch["mult_captions"]
-    b, r, L = mult_caps.shape
 
     memory, memory_pad = encode_audio(params, cfg, audio, audio_lens)
 
@@ -167,6 +167,17 @@ def validation_loss(
         nonempty = (caps != cfg.pad_id).any(axis=1)
         return losses, nonempty
 
-    losses, valid = jax.vmap(one_ref, in_axes=1, out_axes=1)(mult_caps)
+    return jax.vmap(one_ref, in_axes=1, out_axes=1)(mult_caps)
+
+
+def validation_loss(
+    params: Params,
+    cfg: ConetteConfig,
+    batch: dict[str, jax.Array],
+) -> jax.Array:
+    """Mean per-caption forced loss over all references
+    (parity: ``conette.py:233-291`` validation_step). ``mult_captions``
+    is (B, R, L); rows whose caption is all pad are skipped."""
+    losses, valid = per_ref_losses(params, cfg, batch)
     total = jnp.sum(jnp.where(valid, losses, 0.0))
     return total / jnp.maximum(valid.sum(), 1)

@@ -64,7 +64,25 @@ def test_main_train_smoke(hdf_dir, tmp_path):
     assert out["test"], "expected test corpus scores"
     corpus = next(iter(out["test"]))
     assert "cider_d" in out["test"][corpus]
-    assert os.path.isfile(os.path.join(run_dir, f"best_outputs_{corpus}.csv"))
+    out_csv = os.path.join(run_dir, f"best_outputs_{corpus}.csv")
+    assert os.path.isfile(out_csv)
+    # reference outputs_*.csv schema: token/beam/loss columns + prefixed
+    # per-sentence scores (round-trippable by the parity tooling)
+    import ast
+    import csv as csv_mod2
+
+    with open(out_csv, newline="") as f:
+        out_rows = list(csv_mod2.DictReader(f))
+    lead = ["losses", "preds", "lprobs", "mpreds", "mlprobs", "cands",
+            "mcands", "mrefs", "fname", "index", "dataset", "subset"]
+    assert list(out_rows[0].keys())[: len(lead)] == lead
+    first = out_rows[0]
+    preds_ids = ast.literal_eval(first["preds"])
+    mpreds_ids = ast.literal_eval(first["mpreds"])
+    assert preds_ids == mpreds_ids[0] or preds_ids in mpreds_ids
+    assert isinstance(ast.literal_eval(first["losses"]), list)
+    assert ast.literal_eval(first["mcands"])  # all beams decoded
+    assert "best.cands.cider_d" in first
     assert os.path.isfile(os.path.join(run_dir, f"submission_output_{corpus}.csv"))
 
     # --- predict from the fresh run dir (CI parity: conette-predict --model_path)
