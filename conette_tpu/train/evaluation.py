@@ -216,7 +216,7 @@ class Evaluator:
                 export_to_dcase_task6a_csv(
                     os.path.join(
                         self.out_dir,
-                        f"submission_output_{corpus_name}.csv",
+                        f"submission_output_{self.model_name}_{corpus_name}.csv",
                     ),
                     [r["fname"] for r in rows],
                     cands,

@@ -599,9 +599,12 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         from conette_tpu.metrics import AllMetrics
         from conette_tpu.train.evaluation import make_metric_tokenizer
 
+        # "val/fense" -> "best_fense": the reference derives the evaluator's
+        # model name from the checkpoint monitor (train.py:332-338), which is
+        # what prefixes the published CSVs' per-sentence score columns
         evaluator = Evaluator(
             run_dir,
-            model_name="best",
+            model_name=f"best_{monitor.rsplit('/', 1)[-1]}",
             metrics=AllMetrics(
                 tokenizer=make_metric_tokenizer(),
                 train_vocab=list(tokenizer.get_vocab()),

@@ -64,7 +64,9 @@ def test_main_train_smoke(hdf_dir, tmp_path):
     assert out["test"], "expected test corpus scores"
     corpus = next(iter(out["test"]))
     assert "cider_d" in out["test"][corpus]
-    out_csv = os.path.join(run_dir, f"best_outputs_{corpus}.csv")
+    # model name derives from the ckpt monitor (val/loss -> best_loss),
+    # mirroring reference train.py:332-338
+    out_csv = os.path.join(run_dir, f"best_loss_outputs_{corpus}.csv")
     assert os.path.isfile(out_csv)
     # reference outputs_*.csv schema: token/beam/loss columns + prefixed
     # per-sentence scores (round-trippable by the parity tooling)
@@ -82,8 +84,10 @@ def test_main_train_smoke(hdf_dir, tmp_path):
     assert preds_ids == mpreds_ids[0] or preds_ids in mpreds_ids
     assert isinstance(ast.literal_eval(first["losses"]), list)
     assert ast.literal_eval(first["mcands"])  # all beams decoded
-    assert "best.cands.cider_d" in first
-    assert os.path.isfile(os.path.join(run_dir, f"submission_output_{corpus}.csv"))
+    assert "best_loss.cands.cider_d" in first
+    assert os.path.isfile(
+        os.path.join(run_dir, f"submission_output_best_loss_{corpus}.csv")
+    )
 
     # --- predict from the fresh run dir (CI parity: conette-predict --model_path)
     from conette_tpu import get_sample_path
