@@ -168,6 +168,9 @@ def _convert_resnet(sd: Mapping[str, np.ndarray], depths: tuple[int, ...],
         "bn0": _bn(sd, "bn0"),
         "conv_block1": _conv_block(sd, "conv_block1"),
         "layers": [],
+        # all three ResNets end with conv_block_after1 after the 2x2
+        # avg-pool (models.py:1046/1148/1262)
+        "conv_block_after1": _conv_block(sd, "conv_block_after1"),
         "fc1": _linear(sd, "fc1"),
         "fc_audioset": _linear(sd, "fc_audioset"),
     }
@@ -184,8 +187,6 @@ def _convert_resnet(sd: Mapping[str, np.ndarray], depths: tuple[int, ...],
         params["layers"].append(stage)
     if bottleneck:
         params["bottleneck"] = True
-    else:
-        params["conv_block_after1"] = _conv_block(sd, "conv_block_after1")
     return params
 
 
@@ -216,6 +217,99 @@ def _convert_wavegram(sd: Mapping[str, np.ndarray], logmel: bool) -> Params:
         params["blocks"] = [
             _conv_block(sd, f"conv_block{i + 2}") for i in range(5)
         ]
+    return params
+
+
+# ----------------------------------------------------------- raw-wave models
+_LEENET11_CH = [(1, 64), (64, 64), (64, 64), (64, 128), (128, 128), (128, 128),
+                (128, 128), (128, 128), (128, 256)]
+_LEENET24_CH = [(1, 64), (64, 96), (96, 128), (128, 128), (128, 256),
+                (256, 256), (256, 512), (512, 512), (512, 1024)]
+
+
+def _convert_leenet(sd: Mapping[str, np.ndarray], double: bool) -> Params:
+    """LeeNet11 (single-conv blocks, models.py:2051-2113) / LeeNet24
+    (double-conv LeeNetConvBlock2, models.py:2157-2230)."""
+    blocks: list[Params] = []
+    for i in range(9):
+        base = f"conv_block{i + 1}"
+        block: Params = {"conv1": _conv1d(sd, f"{base}.conv1"),
+                         "bn1": _bn(sd, f"{base}.bn1")}
+        if double:
+            block["conv2"] = _conv1d(sd, f"{base}.conv2")
+            block["bn2"] = _bn(sd, f"{base}.bn2")
+        blocks.append(block)
+    return {
+        "blocks": blocks,
+        "fc1": _linear(sd, "fc1"),
+        "fc_audioset": _linear(sd, "fc_audioset"),
+        "double": double,
+    }
+
+
+def _convert_dainet(sd: Mapping[str, np.ndarray]) -> Params:
+    """DaiNet19 (models.py:2315-2383): conv0 k80 s4 + 4 DaiNetResBlocks.
+    Every torch block declares a downsample conv+BN, but it is only used
+    when channels change (models.py:2295-2299) — blocks with in==out skip
+    it here to mirror ``dainet_init``."""
+    channels = [(64, 64), (64, 128), (128, 256), (256, 512)]
+    blocks: list[Params] = []
+    for i, (in_ch, out_ch) in enumerate(channels):
+        base = f"conv_block{i + 1}"
+        block: Params = {}
+        for j in range(1, 5):
+            block[f"conv{j}"] = _conv1d(sd, f"{base}.conv{j}")
+            block[f"bn{j}"] = _bn(sd, f"{base}.bn{j}")
+        if in_ch != out_ch:
+            block["downsample"] = _conv1d(sd, f"{base}.downsample")
+            block["bn_downsample"] = _bn(sd, f"{base}.bn_downsample")
+        blocks.append(block)
+    return {
+        "conv0": _conv1d(sd, "conv0"),
+        "bn0": _bn(sd, "bn0"),
+        "blocks": blocks,
+        "fc1": _linear(sd, "fc1"),
+        "fc_audioset": _linear(sd, "fc_audioset"),
+    }
+
+
+def _convert_res1dnet(sd: Mapping[str, np.ndarray],
+                      depths: tuple[int, ...]) -> Params:
+    """Res1dNet31/51 (models.py:2576-2700): conv0 k11 s5 p5 + 7 stages of
+    _ResnetBasicBlockWav1d. downsample Sequential indexing follows
+    _ResNetWav1d._make_layer (models.py:2510-2528): stride==1 → (conv, bn)
+    at 0,1; stride!=1 → (AvgPool, conv, bn) at 1,2."""
+    params: Params = {
+        "conv0": _conv1d(sd, "conv0"),
+        "bn0": _bn(sd, "bn0"),
+        "layers": [],
+        "fc1": _linear(sd, "fc1"),
+        "fc_audioset": _linear(sd, "fc_audioset"),
+    }
+    strides = (1, 4, 4, 4, 4, 4, 4)
+    for li, (blocks, stride) in enumerate(zip(depths, strides), start=1):
+        stage = []
+        for bi in range(blocks):
+            base = f"resnet.layer{li}.{bi}"
+            block: Params = {
+                "conv1": _conv1d(sd, f"{base}.conv1"),
+                "bn1": _bn(sd, f"{base}.bn1"),
+                "conv2": _conv1d(sd, f"{base}.conv2"),
+                "bn2": _bn(sd, f"{base}.bn2"),
+                "stride": stride if bi == 0 else 1,
+            }
+            if f"{base}.downsample.0.weight" in sd:
+                block["downsample"] = {
+                    "conv": _conv1d(sd, f"{base}.downsample.0"),
+                    "bn": _bn(sd, f"{base}.downsample.1"),
+                }
+            elif f"{base}.downsample.1.weight" in sd:
+                block["downsample"] = {
+                    "conv": _conv1d(sd, f"{base}.downsample.1"),
+                    "bn": _bn(sd, f"{base}.downsample.2"),
+                }
+            stage.append(block)
+        params["layers"].append(stage)
     return params
 
 
@@ -308,11 +402,24 @@ _CONVERTERS = {
     "cnn14_decisionlevelavg": lambda sd: _convert_cnn(sd, 6, att_head=False),
     "cnn14_decisionlevelatt": lambda sd: _convert_cnn(sd, 6, att_head=True),
     "cnn6": lambda sd: _convert_cnn(sd, 4, att_head=False, block5x5=True),
+    # emb variants share Cnn14's state-dict layout; only fc1/fc_audioset
+    # dims differ (models.py:1315-1660) — the shape check pins them
+    "cnn14_emb512": lambda sd: _convert_cnn(sd, 6, att_head=False),
+    "cnn14_emb128": lambda sd: _convert_cnn(sd, 6, att_head=False),
+    "cnn14_emb32": lambda sd: _convert_cnn(sd, 6, att_head=False),
+    "leenet11": lambda sd: _convert_leenet(sd, double=False),
+    "leenet24": lambda sd: _convert_leenet(sd, double=True),
+    "dainet19": _convert_dainet,
+    "res1dnet31": lambda sd: _convert_res1dnet(sd, (2, 2, 2, 2, 2, 2, 2)),
+    "res1dnet51": lambda sd: _convert_res1dnet(sd, (2, 3, 4, 6, 4, 3, 2)),
     "resnet22": lambda sd: _convert_resnet(sd, (2, 2, 2, 2), bottleneck=False),
     "resnet38": lambda sd: _convert_resnet(sd, (3, 4, 6, 3), bottleneck=False),
     "resnet54": lambda sd: _convert_resnet(sd, (3, 4, 6, 3), bottleneck=True),
     "wavegram_cnn14": lambda sd: _convert_wavegram(sd, logmel=False),
     "wavegram_logmel_cnn14": lambda sd: _convert_wavegram(sd, logmel=True),
+    # identical layout to wavegram_logmel_cnn14; bn0 is 128-mel
+    # (models.py:2988-3131) and is copied verbatim
+    "wavegram_logmel128_cnn14": lambda sd: _convert_wavegram(sd, logmel=True),
     "mobilenetv1": _convert_mobilenetv1,
     "mobilenetv2": _convert_mobilenetv2,
 }

@@ -238,8 +238,10 @@ def pann_apply(
         h = x1 + x2
         h = dropout(rngs[-2], h, 0.5, deterministic)
         h = jax.nn.relu(linear(params["fc1"], h))
-        h = dropout(rngs[-1], h, 0.5, deterministic)
         out["clipwise_output"] = jax.nn.sigmoid(linear(params["fc_audioset"], h))
+        # reference contract: the penultimate relu(fc1) activations (post
+        # second dropout) are returned as "embedding" (models.py:271-277)
+        out["embedding"] = dropout(rngs[-1], h, 0.5, deterministic)
     return out
 
 

@@ -570,9 +570,12 @@ def leenet_apply(
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> dict[str, jax.Array]:
     x = waveform[:, :, None].astype(compute_dtype)  # (B, T, 1) NWC
+    n = len(params["blocks"])
     for i, block in enumerate(params["blocks"]):
         stride = 3 if i == 0 else 1
-        pool = 1 if i == 0 else 3
+        # LeeNet24's final block is called with pool_size=1 (models.py:2230);
+        # LeeNet11 pools every block but the first (models.py:2098-2106)
+        pool = 1 if i == 0 or (params.get("double") and i == n - 1) else 3
         x = _leenet_block(block, x, stride, pool, deterministic)
     frames = x.astype(jnp.float32)  # (B, T', C)
     h = jnp.max(frames, axis=1) + jnp.mean(frames, axis=1)
@@ -612,7 +615,9 @@ def _dainet_res_block(p: Params, x: jax.Array, pool: int, deterministic: bool) -
     else:
         y = jax.nn.relu(y + x)
     if pool != 1:
-        y = _max_pool1d_pad(y, pool)
+        # DaiNet19.forward pools OUTSIDE the block: F.max_pool1d(x, 4) with
+        # default padding=0 (models.py:2363-2369) — unpadded, unlike LeeNet
+        y = _max_pool1d(y, pool)
     return y
 
 
@@ -642,7 +647,8 @@ def dainet_apply(
     """DaiNet19 (models.py: conv0 k80 s4 → 4 res blocks with maxpool4
     between the first three)."""
     x = waveform[:, :, None].astype(compute_dtype)
-    x = jax.nn.relu(_bn(params["bn0"], _conv1d(params["conv0"], x, stride=4), deterministic))
+    # reference: x = self.bn0(self.conv0(x)) — NO relu (models.py:2361-2363)
+    x = _bn(params["bn0"], _conv1d(params["conv0"], x, stride=4), deterministic)
     for i, block in enumerate(params["blocks"]):
         pool = 4 if i < 3 else 1
         x = _dainet_res_block(block, x, pool, deterministic)
@@ -696,14 +702,16 @@ def _bottleneck(p: Params, x: jax.Array, deterministic: bool) -> jax.Array:
 
 
 def resnet54_init(key: jax.Array, num_classes: int = NUM_CLASSES, n_mels: int = 64) -> Params:
-    """ResNet54 (models.py:1202-1315): bottleneck stages [3,4,6,3]; the
-    last stage emits 2048 channels directly (no conv_block_after1)."""
+    """ResNet54 (models.py:1202-1315): bottleneck stages [3,4,6,3] emitting
+    2048 channels, then ``conv_block_after1`` (2048→2048) after the 2×2
+    avg-pool — same tail as ResNet22/38 (models.py:1289-1305)."""
     depths = (3, 4, 6, 3)
     keys = iter(jax.random.split(key, 8 + 2 * sum(depths)))
     params: Params = {
         "bn0": batch_norm_init(n_mels),
         "conv_block1": conv_block_init(next(keys), 1, 64),
         "layers": [],
+        "conv_block_after1": conv_block_init(next(keys), 2048, 2048),
         "fc1": linear_init(next(keys), 2048, 2048, init="torch"),
         "fc_audioset": linear_init(next(keys), 2048, num_classes, init="torch"),
         "bottleneck": True,
@@ -736,6 +744,9 @@ def resnet54_apply(
         for block in stage:
             x = _bottleneck(block, x, deterministic)
     x = _avg_pool(x)
+    x, _ = conv_block(
+        params["conv_block_after1"], x, pool_size=(1, 1), deterministic=deterministic
+    )
     frames = jnp.mean(x.astype(jnp.float32), axis=2)
     n_out = frames.shape[1]
     reduction = max(input_time_len // max(n_out, 1), 1)
@@ -922,10 +933,9 @@ PANN_LOGMEL_8K = LogMelConfig(
 def wavegram_logmel128_cnn14_init(
     key: jax.Array, num_classes: int = NUM_CLASSES
 ) -> Params:
-    """128-mel dual-branch variant (models.py:2988-3133). The wavegram
-    reshape groups the 128 pre-branch channels as 2×64 "freqs" (the torch
-    class declares pre_block4 with in_channels=4, which cannot run with that
-    reshape — we use the runtime-consistent 2)."""
+    """128-mel dual-branch variant (models.py:2988-3131): unlike the 64-mel
+    class, pre_block3 widens to 256 channels, reshaped as 4 groups × 64
+    wavegram "freqs" to match the 128-mel branch's post-pool width."""
     keys = iter(jax.random.split(key, 16))
     channels = [(1, 64), (128, 128), (128, 256), (256, 512), (512, 1024), (1024, 2048)]
     return {
@@ -933,8 +943,8 @@ def wavegram_logmel128_cnn14_init(
         "pre_bn0": batch_norm_init(64),
         "pre_block1": _pre_wav_block_init(next(keys), 64, 64),
         "pre_block2": _pre_wav_block_init(next(keys), 64, 128),
-        "pre_block3": _pre_wav_block_init(next(keys), 128, 128),
-        "pre_block4": conv_block_init(next(keys), 2, 64),
+        "pre_block3": _pre_wav_block_init(next(keys), 128, 256),
+        "pre_block4": conv_block_init(next(keys), 4, 64),
         "bn0": batch_norm_init(128),
         "blocks": [conv_block_init(next(keys), i, o) for i, o in channels],
         "fc1": linear_init(next(keys), 2048, 2048, init="torch"),
@@ -961,7 +971,9 @@ def wavegram_logmel128_cnn14_apply(
     a = _pre_wav_block(params["pre_block2"], a, 4, deterministic)
     a = _pre_wav_block(params["pre_block3"], a, 4, deterministic)
     t = a.shape[1]
-    a = a.reshape(b, t, 2, 64).transpose(0, 1, 3, 2)  # (B, T, 64, 2)
+    # torch: (B, 256, T) → reshape (B, 4, 64, T) → transpose(2,3); channel
+    # c = g*64 + f, same split as this NWC reshape (models.py:3103-3107)
+    a = a.reshape(b, t, 4, 64).transpose(0, 1, 3, 2)  # (B, T, 64, 4)
     a, _ = conv_block(params["pre_block4"], a, pool_size=(2, 1),
                       deterministic=deterministic)  # (B, T/2, 64, 64)
 

@@ -112,6 +112,237 @@ def _install_torchoutil_shim() -> None:
     sys.modules["torchoutil.nn.functional.get"] = get_mod
 
 
+def _install_torchlibrosa_shim() -> None:
+    """Faithful ``torchlibrosa`` twins (a third-party dep, same standing as
+    the ``torchoutil`` shim — the reference code under test is conette's
+    own). Semantics per torchlibrosa/stft.py:
+
+    * ``Spectrogram`` — conv-STFT == ``torch.stft`` (hann, center/reflect),
+      power 2.0, output (B, 1, T, F).
+    * ``LogmelFilterBank`` — slaney mel matmul (librosa ``filters.mel``
+      twin from ``conette_tpu.ops.mel``) then ``power_to_db``:
+      ``10*log10(clamp(x, amin)) - 10*log10(max(amin, ref))`` with
+      optional ``top_db`` floor.
+    * ``SpecAugmentation`` — train-only at every reference call site;
+      construct-only stub whose forward raises so any eval-path use is
+      caught loudly.
+    """
+    if "torchlibrosa" in sys.modules:
+        return
+
+    import numpy as np
+    from torch import nn
+
+    from conette_tpu.ops.mel import mel_filterbank
+
+    class Spectrogram(nn.Module):
+        def __init__(
+            self,
+            n_fft=2048,
+            hop_length=None,
+            win_length=None,
+            window="hann",
+            center=True,
+            pad_mode="reflect",
+            power=2.0,
+            freeze_parameters=True,
+        ):
+            super().__init__()
+            assert window == "hann" and power == 2.0
+            self.n_fft = n_fft
+            self.hop_length = hop_length or n_fft // 4
+            self.win_length = win_length or n_fft
+            self.center = center
+            self.pad_mode = pad_mode
+
+        def forward(self, x):
+            st = torch.stft(
+                x,
+                n_fft=self.n_fft,
+                hop_length=self.hop_length,
+                win_length=self.win_length,
+                window=torch.hann_window(self.win_length, periodic=True),
+                center=self.center,
+                pad_mode=self.pad_mode,
+                return_complex=True,
+            )
+            return (st.abs() ** 2).transpose(1, 2)[:, None]  # (B, 1, T, F)
+
+    class LogmelFilterBank(nn.Module):
+        def __init__(
+            self,
+            sr=22050,
+            n_fft=2048,
+            n_mels=64,
+            fmin=0.0,
+            fmax=None,
+            is_log=True,
+            ref=1.0,
+            amin=1e-10,
+            top_db=80.0,
+            freeze_parameters=True,
+        ):
+            super().__init__()
+            self.is_log, self.ref, self.amin, self.top_db = is_log, ref, amin, top_db
+            fb = np.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+            self.register_buffer("melW", torch.from_numpy(fb.astype(np.float32)))
+
+        def forward(self, x):
+            mel = torch.matmul(x, self.melW)
+            return self.power_to_db(mel) if self.is_log else mel
+
+        def power_to_db(self, x):
+            log_spec = 10.0 * torch.log10(torch.clamp(x, min=self.amin))
+            log_spec = log_spec - 10.0 * torch.log10(
+                torch.tensor(max(self.amin, self.ref))
+            )
+            if self.top_db is not None:
+                log_spec = torch.clamp(log_spec, min=log_spec.max().item() - self.top_db)
+            return log_spec
+
+    class SpecAugmentation(nn.Module):
+        def __init__(self, *args, **kwargs):
+            super().__init__()
+
+        def forward(self, x):
+            raise NotImplementedError(
+                "SpecAugmentation shim is construct-only (train-time aug)"
+            )
+
+    root = types.ModuleType("torchlibrosa")
+    stft_mod = types.ModuleType("torchlibrosa.stft")
+    aug_mod = types.ModuleType("torchlibrosa.augmentation")
+    stft_mod.Spectrogram = Spectrogram
+    stft_mod.LogmelFilterBank = LogmelFilterBank
+    aug_mod.SpecAugmentation = SpecAugmentation
+    root.stft = stft_mod
+    root.augmentation = aug_mod
+    sys.modules["torchlibrosa"] = root
+    sys.modules["torchlibrosa.stft"] = stft_mod
+    sys.modules["torchlibrosa.augmentation"] = aug_mod
+
+
+def _install_torchoutil_modules_shim() -> None:
+    """``torchoutil.nn.modules`` (``CropDim``/``PadDim``) — imported by the
+    reference's ``speed_perturb.py:6``; only instantiated when
+    ``use_speed_perturb=True`` (never in these eval-mode parity tests), so
+    construct-only stubs suffice."""
+    _install_torchoutil_shim()
+    if "torchoutil.nn.modules" in sys.modules:
+        return
+
+    from torch import nn
+
+    class _TrainOnlyStub(nn.Module):
+        def __init__(self, *args, **kwargs):
+            super().__init__()
+
+        def forward(self, x):
+            raise NotImplementedError("train-only shim")
+
+    mods = types.ModuleType("torchoutil.nn.modules")
+    mods.CropDim = type("CropDim", (_TrainOnlyStub,), {})
+    mods.PadDim = type("PadDim", (_TrainOnlyStub,), {})
+    sys.modules["torchoutil.nn"].modules = mods
+    sys.modules["torchoutil.nn.modules"] = mods
+
+
+def load_reference_convnext() -> SimpleNamespace:
+    """Import the reference's ACTUAL ConvNeXt encoder
+    (``nn/encoders/convnext.py:107-336`` + ``convnext_tiny`` factory,
+    :420-447) so tests can bit-match the JAX encoder against real
+    reference code with shared random weights. The torchlibrosa frontend
+    twins make the ``waveform_input=True`` path runnable too."""
+    if not REF_SRC.is_dir():
+        raise FileNotFoundError(f"reference tree not found: {REF_SRC}")
+    _install_torchoutil_modules_shim()
+    _install_torchlibrosa_shim()
+
+    prev_dwb = sys.dont_write_bytecode
+    sys.dont_write_bytecode = True
+    try:
+        if "conette" not in sys.modules:
+            pkg = types.ModuleType("conette")
+            pkg.__path__ = [str(REF_SRC / "conette")]
+            sys.modules["conette"] = pkg
+        convnext = importlib.import_module("conette.nn.encoders.convnext")
+    finally:
+        sys.dont_write_bytecode = prev_dwb
+
+    return SimpleNamespace(
+        ConvNeXt=convnext.ConvNeXt,
+        convnext_tiny=convnext.convnext_tiny,
+        module=convnext,
+    )
+
+
+def _install_torchoutil_hub_shim() -> None:
+    """``torchoutil.hub.registry.RegistryHub`` — the reference's
+    ``nn/ckpt.py:4`` constructs registries at import time; the encoders
+    only consult them when ``pretrained=True`` (never in these tests)."""
+    _install_torchoutil_shim()
+    if "torchoutil.hub" in sys.modules:
+        return
+
+    class RegistryHub:
+        def __init__(self, infos):
+            self.infos = infos
+
+        @property
+        def names(self):
+            return list(self.infos)
+
+        def load_state_dict(self, *args, **kwargs):
+            raise NotImplementedError("registry shim is offline")
+
+    hub = types.ModuleType("torchoutil.hub")
+    reg = types.ModuleType("torchoutil.hub.registry")
+    reg.RegistryHub = RegistryHub
+    hub.registry = reg
+    sys.modules["torchoutil"].hub = hub
+    sys.modules["torchoutil.hub"] = hub
+    sys.modules["torchoutil.hub.registry"] = reg
+
+
+def load_reference_pann() -> SimpleNamespace:
+    """Import the reference's ACTUAL PANN zoo
+    (``nn/pann_utils/models.py`` — all 29 architectures — plus the
+    dedicated encoder modules ``nn/encoders/{cnn10,cnn14,
+    cnn14_decisionlevel_att}.py``) so tests can bit-match
+    ``models/{pann,pann_zoo}.py`` + ``huggingface/convert_pann.py``
+    against real reference code with shared random weights. The
+    torchlibrosa shim supplies the frontend semantics the PANN forwards
+    call on waveform input."""
+    if not REF_SRC.is_dir():
+        raise FileNotFoundError(f"reference tree not found: {REF_SRC}")
+    _install_torchoutil_modules_shim()
+    _install_torchoutil_hub_shim()
+    _install_torchlibrosa_shim()
+
+    prev_dwb = sys.dont_write_bytecode
+    sys.dont_write_bytecode = True
+    try:
+        if "conette" not in sys.modules:
+            pkg = types.ModuleType("conette")
+            pkg.__path__ = [str(REF_SRC / "conette")]
+            sys.modules["conette"] = pkg
+        models = importlib.import_module("conette.nn.pann_utils.models")
+        cnn10 = importlib.import_module("conette.nn.encoders.cnn10")
+        cnn14 = importlib.import_module("conette.nn.encoders.cnn14")
+        cnn14_att = importlib.import_module(
+            "conette.nn.encoders.cnn14_decisionlevel_att"
+        )
+    finally:
+        sys.dont_write_bytecode = prev_dwb
+
+    return SimpleNamespace(
+        models=models,
+        Cnn10Encoder=cnn10.Cnn10,
+        Cnn14Encoder=cnn14.Cnn14,
+        Cnn14AttEncoder=cnn14_att.Cnn14_DecisionLevelAtt,
+    )
+
+
 def load_reference_decoding() -> SimpleNamespace:
     """Import the reference decode modules and return their public symbols.
 

@@ -132,8 +132,9 @@ def _resnet_sd(rng, depths, bottleneck):
                     sd |= _conv2d_sd(f"{p}.downsample.1", inplanes, planes * expansion, 1, rng)
                     sd |= _bn_sd(f"{p}.downsample.2", planes * expansion, rng)
             inplanes = planes * expansion
-    if not bottleneck:
-        sd |= _conv_block_sd("conv_block_after1", 512, 2048, rng)
+    # every reference ResNet has conv_block_after1 after the resnet stages
+    # (2048-in for the bottleneck ResNet54, 512-in for ResNet22/38)
+    sd |= _conv_block_sd("conv_block_after1", 2048 if bottleneck else 512, 2048, rng)
     sd |= _linear_sd("fc1", 2048, 2048, rng)
     sd |= _linear_sd("fc_audioset", 2048, 527, rng)
     return sd
