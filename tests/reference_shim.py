@@ -586,6 +586,9 @@ def _install_spacy_shim() -> None:
 
     mod = types.ModuleType("spacy")
     mod.load = lambda name, **kwargs: _Model(name)
+    # transformers probes importlib.util.find_spec("spacy"); a module in
+    # sys.modules with __spec__=None makes that raise ValueError
+    mod.__spec__ = importlib.machinery.ModuleSpec("spacy", loader=None)
     sys.modules["spacy"] = mod
 
 
@@ -649,4 +652,141 @@ def load_reference_plm() -> SimpleNamespace:
         common=common,
         conette_module=conette_plm,
         baseline_module=baseline_plm,
+    )
+
+
+# ---------------------------------------------------------- HF-layer imports
+def _install_torchaudio_shim() -> None:
+    """``torchaudio`` twins for the reference preprocessor
+    (``huggingface/preprocessor.py:8-10``): ``load`` via the repo's WAV
+    reader, ``functional.resample`` as identity when rates match (the only
+    case these offline tests exercise) and otherwise via the repo's
+    polyphase kernel (itself golden-tested against real torchaudio
+    semantics in ``tests/test_frontend.py``)."""
+    if "torchaudio" in sys.modules:
+        return
+
+    import numpy as np
+
+    from conette_tpu.utils.audio_io import load_wav
+
+    def load(path, *args, **kwargs):
+        wav, sr = load_wav(str(path))
+        if wav.ndim == 1:
+            wav = wav[None]
+        return torch.from_numpy(np.asarray(wav, np.float32)), sr
+
+    def resample(waveform, orig_freq, new_freq, **kwargs):
+        if orig_freq == new_freq:
+            return waveform
+        from conette_tpu.ops.resample import resample as _jnp_resample
+
+        out = np.asarray(
+            _jnp_resample(waveform.cpu().numpy(), orig_freq, new_freq)
+        )
+        return torch.from_numpy(out).to(waveform.dtype)
+
+    root = types.ModuleType("torchaudio")
+    func = types.ModuleType("torchaudio.functional")
+    root.load = load
+    func.resample = resample
+    root.functional = func
+    # transformers probes find_spec("torchaudio"); see the spacy shim note
+    root.__spec__ = importlib.machinery.ModuleSpec("torchaudio", loader=None)
+    sys.modules["torchaudio"] = root
+    sys.modules["torchaudio.functional"] = func
+
+
+def _install_torchoutil_hf_extras() -> None:
+    """torchoutil helpers the reference HF layer imports
+    (``huggingface/model.py:10-11``, ``preprocessor.py:11``,
+    ``nn/functional/pad.py:8``):
+
+    * ``probs_to_names(probs, threshold, idx_to_name)`` — names whose
+      probability exceeds the threshold (``model.py:204``; parity tests
+      compare as sets, the ordering convention is not observable offline);
+    * ``pad_dim(x, target, dim, pad_value)`` — right-pad along ``dim``;
+    * ``all_eq(iterable)``.
+    """
+    _install_torchoutil_shim()
+    root = sys.modules["torchoutil"]
+    func = sys.modules["torchoutil.nn.functional"]
+    if "torchoutil.nn.functional.multilabel" in sys.modules:
+        return
+
+    def probs_to_names(probs, threshold, idx_to_name):
+        out = []
+        for row in probs:
+            idxs = torch.where(row > threshold)[0].tolist()
+            out.append([idx_to_name[i] for i in idxs])
+        return out
+
+    def pad_dim(x, target_length, *, dim=-1, pad_value=0.0):
+        cur = x.shape[dim]
+        if cur >= target_length:
+            return x
+        shape = list(x.shape)
+        shape[dim] = target_length - cur
+        fill = torch.full(shape, pad_value, dtype=x.dtype, device=x.device)
+        return torch.cat([x, fill], dim=dim)
+
+    def all_eq(it, ne_fn=None):
+        seq = list(it)
+        return all(item == seq[0] for item in seq)
+
+    multilabel = types.ModuleType("torchoutil.nn.functional.multilabel")
+    multilabel.probs_to_names = probs_to_names
+    pad_mod = types.ModuleType("torchoutil.nn.functional.pad")
+    pad_mod.pad_dim = pad_dim
+    utils_mod = types.ModuleType("torchoutil.utils")
+    coll_mod = types.ModuleType("torchoutil.utils.collections")
+    coll_mod.all_eq = all_eq
+    utils_mod.collections = coll_mod
+    func.multilabel = multilabel
+    func.pad = pad_mod
+    root.utils = utils_mod
+    sys.modules["torchoutil.nn.functional.multilabel"] = multilabel
+    sys.modules["torchoutil.nn.functional.pad"] = pad_mod
+    sys.modules["torchoutil.utils"] = utils_mod
+    sys.modules["torchoutil.utils.collections"] = coll_mod
+
+
+def load_reference_hf() -> SimpleNamespace:
+    """Import the reference's ACTUAL HuggingFace surface
+    (``huggingface/{config,model,preprocessor}.py``) — the full public
+    wav→caption pipeline — so tests can run it end to end against the JAX
+    ``CoNeTTEModel`` with shared converted weights. Builds on every other
+    shim (lightning/spacy/nltk/torchlibrosa/torchaudio)."""
+    if not REF_SRC.is_dir():
+        raise FileNotFoundError(f"reference tree not found: {REF_SRC}")
+    _install_torchoutil_plm_extras()
+    _install_torchoutil_hf_extras()
+    _install_lightning_shim()
+    _install_spacy_shim()
+    _install_nltk_stopwords()
+    _install_torchlibrosa_shim()
+    _install_torchaudio_shim()
+
+    prev_dwb = sys.dont_write_bytecode
+    sys.dont_write_bytecode = True
+    try:
+        if "conette" not in sys.modules:
+            pkg = types.ModuleType("conette")
+            pkg.__path__ = [str(REF_SRC / "conette")]
+            sys.modules["conette"] = pkg
+        config = importlib.import_module("conette.huggingface.config")
+        model = importlib.import_module("conette.huggingface.model")
+        preproc = importlib.import_module("conette.huggingface.preprocessor")
+        audioset = importlib.import_module("conette.transforms.audioset_mapping")
+        aac_tok = importlib.import_module("conette.tokenization.aac_tokenizer")
+    finally:
+        sys.dont_write_bytecode = prev_dwb
+
+    return SimpleNamespace(
+        CoNeTTEConfig=config.CoNeTTEConfig,
+        CoNeTTEModel=model.CoNeTTEModel,
+        CoNeTTEPreprocessor=preproc.CoNeTTEPreprocessor,
+        AACTokenizer=aac_tok.AACTokenizer,
+        audioset_module=audioset,
+        model_module=model,
     )
