@@ -27,11 +27,15 @@ def decay_mask(params: Params) -> Params:
 
 
 def cos_decay_schedule(base_lr: float, n_steps: int) -> Callable[[jax.Array], jax.Array]:
-    """lr(step) = base · 0.5 · (1 + cos(π · step / n))
-    (``optim/schedulers.py:95-112``)."""
+    """lr(step) = base · 0.5 · (1 + cos(π · min(step, n-1) / n))
+    (``optim/schedulers.py:95-112``; ``CosDecayRule`` clamps the step at
+    ``n_steps - 1``, so the lr floors at the last-step value instead of 0
+    — proven against the reference's actual rule in
+    ``tests/test_reference_optim_parity.py``)."""
 
     def fn(step):
-        frac = jnp.minimum(step / max(n_steps, 1), 1.0)
+        n = max(n_steps, 1)
+        frac = jnp.minimum(jnp.asarray(step, jnp.float32), n - 1) / n
         return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
 
     return fn
@@ -105,9 +109,13 @@ def cyclic_cos_decay_schedule(
 
     def fn(step):
         step = jnp.asarray(step, jnp.float32)
-        # linear warmup segment
+        # cosine warmup ramp start→base (the vendored ``_calc`` with
+        # (lrs, min_lrs) swapped, ``cyclic_cos_decay.py:150-156,198-202``)
         warm_lr = (
-            warmup_start_lr + (base_lr - warmup_start_lr) * step / max(warm, 1)
+            base_lr
+            + (warmup_start_lr - base_lr)
+            * 0.5
+            * (1.0 + jnp.cos(jnp.pi * step / max(warm, 1)))
             if warm > 0
             else jnp.asarray(base_lr)
         )

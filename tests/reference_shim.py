@@ -790,3 +790,49 @@ def load_reference_hf() -> SimpleNamespace:
         audioset_module=audioset,
         model_module=model,
     )
+
+
+def load_reference_optim() -> SimpleNamespace:
+    """Import the reference's ACTUAL optimizer/scheduler factories
+    (``optim/{optimizers,schedulers,cyclic_cos_decay}.py`` — torch-only)
+    so tests can compare LR sequences and the custom weight-decay split
+    against the optax twins step by step.
+
+    torch >= 2 removed the ``verbose`` kwarg from ``LRScheduler.__init__``
+    that the vendored ``CyclicCosineDecayLR`` (written for torch 1.x)
+    passes through (``cyclic_cos_decay.py:145-147``) — a compat
+    ``_LRScheduler`` that swallows it is installed first."""
+    if not REF_SRC.is_dir():
+        raise FileNotFoundError(f"reference tree not found: {REF_SRC}")
+
+    import torch.optim.lr_scheduler as _lrs
+
+    if "verbose" not in _lrs._LRScheduler.__init__.__code__.co_varnames:
+
+        class _CompatLRScheduler(_lrs.LRScheduler):
+            def __init__(self, optimizer, last_epoch=-1, verbose=False):
+                super().__init__(optimizer, last_epoch)
+
+        _lrs._LRScheduler = _CompatLRScheduler
+
+    prev_dwb = sys.dont_write_bytecode
+    sys.dont_write_bytecode = True
+    try:
+        if "conette" not in sys.modules:
+            pkg = types.ModuleType("conette")
+            pkg.__path__ = [str(REF_SRC / "conette")]
+            sys.modules["conette"] = pkg
+        optimizers = importlib.import_module("conette.optim.optimizers")
+        schedulers = importlib.import_module("conette.optim.schedulers")
+        cyclic = importlib.import_module("conette.optim.cyclic_cos_decay")
+    finally:
+        sys.dont_write_bytecode = prev_dwb
+    return SimpleNamespace(
+        get_optimizer=optimizers.get_optimizer,
+        get_scheduler_list=schedulers.get_scheduler_list,
+        CosDecayRule=schedulers.CosDecayRule,
+        TrfRule=schedulers.TrfRule,
+        CyclicCosineDecayLR=cyclic.CyclicCosineDecayLR,
+        optimizers_module=optimizers,
+        schedulers_module=schedulers,
+    )

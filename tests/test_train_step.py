@@ -1,6 +1,8 @@
 """Training step tests: loss semantics vs torch CE, mixup invariants, and
 the pjit-sharded multi-chip step on the virtual 8-device CPU mesh."""
 
+import math
+
 import numpy as np
 import pytest
 import torch
@@ -137,7 +139,11 @@ class TestOptim:
         sched = cos_decay_schedule(1.0, 100)
         assert float(sched(jnp.asarray(0))) == pytest.approx(1.0)
         assert float(sched(jnp.asarray(50))) == pytest.approx(0.5)
-        assert float(sched(jnp.asarray(100))) == pytest.approx(0.0, abs=1e-7)
+        # CosDecayRule clamps the step at n-1, so the tail floors at the
+        # last-step value (reference optim/schedulers.py:109-112)
+        last = 0.5 * (1.0 + math.cos(math.pi * 99 / 100))
+        assert float(sched(jnp.asarray(100))) == pytest.approx(last, abs=1e-7)
+        assert float(sched(jnp.asarray(500))) == pytest.approx(last, abs=1e-7)
 
 
 class TestMultichip:
