@@ -194,9 +194,13 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
 
         spec_aug_fn = functools.partial(
             spec_augment_ratio,
-            time_drop_ratio=float(tuple(aug_cfg.get("time_ratios", (0, 0.1)))[-1]),
+            time_ratios=tuple(
+                float(r) for r in aug_cfg.get("time_ratios", (0.0, 0.1))
+            ),
             time_stripes_num=int(aug_cfg.get("time_stripes_num", 2)),
-            freq_drop_ratio=float(tuple(aug_cfg.get("freq_ratios", (0, 0.1)))[-1]),
+            freq_ratios=tuple(
+                float(r) for r in aug_cfg.get("freq_ratios", (0.0, 0.1))
+            ),
             freq_stripes_num=int(aug_cfg.get("freq_stripes_num", 2)),
         )
     elif target.endswith("SpecAugment"):

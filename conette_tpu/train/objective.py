@@ -33,7 +33,12 @@ def sample_lambda(
     key: jax.Array, alpha: float, asymmetric: bool = True
 ) -> jax.Array:
     """λ ~ Beta(α, α); asymmetric folds to [0.5, 1] via max(λ, 1-λ)
-    (parity: ``transforms/mixup.py:14-56``)."""
+    (parity: ``transforms/mixup.py:31-58``, incl. the α == 0 edge cases:
+    asymmetric → constant 1.0, symmetric → fair coin in {0, 1})."""
+    if alpha == 0.0:
+        if asymmetric:
+            return jnp.asarray(1.0, jnp.float32)
+        return jax.random.bernoulli(key).astype(jnp.float32)
     lbd = jax.random.beta(key, alpha, alpha)
     if asymmetric:
         lbd = jnp.maximum(lbd, 1.0 - lbd)

@@ -224,25 +224,83 @@ def _install_torchlibrosa_shim() -> None:
 
 def _install_torchoutil_modules_shim() -> None:
     """``torchoutil.nn.modules`` (``CropDim``/``PadDim``) — imported by the
-    reference's ``speed_perturb.py:6``; only instantiated when
-    ``use_speed_perturb=True`` (never in these eval-mode parity tests), so
-    construct-only stubs suffice."""
+    reference's ``speed_perturb.py:6`` and driven by its
+    ``apply_transform`` (``speed_perturb.py:79-92``): pad or crop the
+    ``dim`` axis to ``target_length`` with ``align`` placement
+    (left = content at the start, right = at the end, center = split
+    evenly, random = uniform offset). Functional so the reference
+    ``SpeedPerturbation`` can actually run as a parity oracle."""
     _install_torchoutil_shim()
     if "torchoutil.nn.modules" in sys.modules:
         return
 
+    import random as _random
+
     from torch import nn
 
-    class _TrainOnlyStub(nn.Module):
-        def __init__(self, *args, **kwargs):
+    def _offset(align: str, excess: int) -> int:
+        if excess <= 0:
+            return 0
+        if align == "left":
+            return 0
+        if align == "right":
+            return excess
+        if align == "center":
+            return excess // 2
+        if align == "random":
+            return _random.randint(0, excess)
+        raise ValueError(f"invalid {align=}")
+
+    class CropDim(nn.Module):
+        def __init__(self, target_length, align="random", dim=-1):
             super().__init__()
+            self.target_length = target_length
+            self.align = align
+            self.dim = dim
 
         def forward(self, x):
-            raise NotImplementedError("train-only shim")
+            size = x.shape[self.dim]
+            if size <= self.target_length:
+                return x
+            start = _offset(self.align, size - self.target_length)
+            slices = [slice(None)] * x.ndim
+            slices[self.dim] = slice(start, start + self.target_length)
+            return x[slices]
+
+    class PadDim(nn.Module):
+        def __init__(
+            self,
+            target_length,
+            align="random",
+            fill_value=0.0,
+            dim=-1,
+            mode="constant",
+        ):
+            super().__init__()
+            self.target_length = target_length
+            self.align = align
+            self.fill_value = fill_value
+            self.dim = dim
+            self.mode = mode
+
+        def forward(self, x):
+            size = x.shape[self.dim]
+            if size >= self.target_length:
+                return x
+            pad_left = _offset(self.align, self.target_length - size)
+            shape = list(x.shape)
+            shape[self.dim] = self.target_length
+            out = torch.full(
+                shape, self.fill_value, dtype=x.dtype, device=x.device
+            )
+            slices = [slice(None)] * x.ndim
+            slices[self.dim] = slice(pad_left, pad_left + size)
+            out[slices] = x
+            return out
 
     mods = types.ModuleType("torchoutil.nn.modules")
-    mods.CropDim = type("CropDim", (_TrainOnlyStub,), {})
-    mods.PadDim = type("PadDim", (_TrainOnlyStub,), {})
+    mods.CropDim = CropDim
+    mods.PadDim = PadDim
     sys.modules["torchoutil.nn"].modules = mods
     sys.modules["torchoutil.nn.modules"] = mods
 
@@ -835,4 +893,54 @@ def load_reference_optim() -> SimpleNamespace:
         CyclicCosineDecayLR=cyclic.CyclicCosineDecayLR,
         optimizers_module=optimizers,
         schedulers_module=schedulers,
+    )
+
+
+def load_reference_transforms() -> SimpleNamespace:
+    """Import the reference's ACTUAL augmentation transforms
+    (``transforms/audio/spec_aug.py``, ``speed_perturb.py``,
+    ``resample.py``, ``cutoutspec.py``, ``transforms/mixup.py``) so
+    ``tests/test_reference_transforms_parity.py`` can drive them as parity
+    oracles against ``conette_tpu/train/augment.py``. Only
+    ``speed_perturb`` needs a shim (``torchoutil.nn.modules``
+    CropDim/PadDim); everything else is pure torch."""
+    if not REF_SRC.is_dir():
+        raise FileNotFoundError(f"reference tree not found: {REF_SRC}")
+    _install_torchoutil_modules_shim()
+
+    prev_dwb = sys.dont_write_bytecode
+    sys.dont_write_bytecode = True
+    try:
+        if "conette" not in sys.modules:
+            pkg = types.ModuleType("conette")
+            pkg.__path__ = [str(REF_SRC / "conette")]
+            sys.modules["conette"] = pkg
+        spec_aug = importlib.import_module("conette.transforms.audio.spec_aug")
+        speed = importlib.import_module(
+            "conette.transforms.audio.speed_perturb"
+        )
+        resample = importlib.import_module(
+            "conette.transforms.audio.resample"
+        )
+        cutout = importlib.import_module(
+            "conette.transforms.audio.cutoutspec"
+        )
+        mixup = importlib.import_module("conette.transforms.mixup")
+    finally:
+        sys.dont_write_bytecode = prev_dwb
+
+    return SimpleNamespace(
+        DropStripes=spec_aug.DropStripes,
+        SpecAugment=spec_aug.SpecAugment,
+        DropStripesRatio=spec_aug.DropStripesRatio,
+        SpecAugmentRatio=spec_aug.SpecAugmentRatio,
+        SpeedPerturbation=speed.SpeedPerturbation,
+        ResampleNearest=resample.ResampleNearest,
+        CutOutSpec=cutout.CutOutSpec,
+        gen_range=cutout.gen_range,
+        sample_lambda=mixup.sample_lambda,
+        pann_mixup=mixup.pann_mixup,
+        Mixup=mixup.Mixup,
+        spec_aug_module=spec_aug,
+        mixup_module=mixup,
     )
