@@ -68,6 +68,9 @@ class HDFDataModule:
         bsize: int = 512,
         main_hdf_pattern: str | None = None,
         balance_mode: str = "none",
+        main_hdf_duplicate: str | None = None,
+        main_hdf_min: str | None = None,
+        main_hdf_balanced: Sequence[str] | None = None,
         n_added_data: int | None = None,
         caption_quantum: int = 4,
         caption_max_len: int = 64,
@@ -80,6 +83,34 @@ class HDFDataModule:
     ) -> None:
         if balance_mode not in BALANCE_MODES:
             raise ValueError(f"Invalid {balance_mode=}. (expected {BALANCE_MODES})")
+        # reference-style mode keys (conf/dm/hdf.yaml:21-24): the key that
+        # is set both names the main HDF(s) and selects the mode, like the
+        # if/elif chain in the reference's HDFDataModule._setup_fit
+        # (datamodules/hdf.py:234-319). They take precedence over the
+        # legacy (balance_mode, main_hdf_pattern) pair.
+        set_modes = [
+            m
+            for m, v in (
+                ("main_hdf_duplicate", main_hdf_duplicate),
+                ("main_hdf_min", main_hdf_min),
+                ("main_hdf_balanced", main_hdf_balanced),
+            )
+            if v
+        ]
+        if len(set_modes) > 1:
+            raise ValueError(
+                f"At most one of main_hdf_duplicate/min/balanced may be set "
+                f"(found {set_modes})"
+            )
+        if set_modes:
+            balance_mode = set_modes[0]
+            if balance_mode == "main_hdf_balanced":
+                main_hdf_names = [str(x) for x in main_hdf_balanced or ()]
+            else:
+                main_hdf_names = [str(main_hdf_duplicate or main_hdf_min)]
+        else:
+            main_hdf_names = []
+        self.main_hdf_names = main_hdf_names
         self.tokenizer = tokenizer
         self.train_fpaths = list(train_fpaths)
         self.val_fpaths = list(val_fpaths)
@@ -113,36 +144,86 @@ class HDFDataModule:
         if not datasets:
             raise ValueError("No train HDF files provided")
 
-        is_main = [
-            self.main_hdf_pattern is not None and self.main_hdf_pattern in ds.fpath
-            for ds in datasets
-        ]
+        # main selection: exact basename match on the reference-style mode
+        # keys (the reference indexes hp.train_hdfs by filename,
+        # datamodules/hdf.py:235,250,274-277); legacy substring pattern
+        # kept as fallback.
+        import os.path as osp
+
+        if self.main_hdf_names:
+            names = [osp.basename(ds.fpath) for ds in datasets]
+            missing = [n for n in self.main_hdf_names if n not in names]
+            if missing:
+                raise ValueError(
+                    f"main HDF name(s) {missing} not in train_hdfs {names}"
+                )
+            is_main = [n in self.main_hdf_names for n in names]
+        else:
+            is_main = [
+                self.main_hdf_pattern is not None
+                and self.main_hdf_pattern in ds.fpath
+                for ds in datasets
+            ]
         if self.balance_mode == "none" or not any(is_main):
+            if self.balance_mode != "none" and not any(is_main):
+                pylog.warning(
+                    f"balance_mode={self.balance_mode} set but no train HDF "
+                    f"matches main_hdf_pattern={self.main_hdf_pattern!r}; "
+                    "training UNBALANCED"
+                )
             train: AACDatasetLike = (
                 datasets[0] if len(datasets) == 1 else AACConcat(*datasets)
             )
         else:
             mains = [d for d, m in zip(datasets, is_main) if m]
             added = [d for d, m in zip(datasets, is_main) if not m]
-            main = mains[0] if len(mains) == 1 else AACConcat(*mains)
-            parts: list[AACDatasetLike] = []
+            parts: list[AACDatasetLike]
             if self.balance_mode == "main_hdf_duplicate":
-                total_added = sum(len(d) for d in added)
-                parts = [AACDuplicate(main, max(total_added, len(main))), *added]
+                # reference hdf.py:234-248: duplicate the main dataset IN
+                # PLACE up to the sum of the others (only if smaller);
+                # others kept whole, original dataset order preserved
+                main = mains[0] if len(mains) == 1 else AACConcat(*mains)
+                other_sum = sum(len(d) for d in added)
+                if len(main) < other_sum:
+                    main = AACDuplicate(main, other_sum)
+                parts = [
+                    main if m else d for d, m in zip(datasets, is_main)
+                ]
+                # collapse the duplicated main to one part at its first slot
+                first_main = is_main.index(True)
+                parts = [
+                    p
+                    for i, p in enumerate(parts)
+                    if not is_main[i] or i == first_main
+                ]
             elif self.balance_mode == "main_hdf_min":
-                n = len(main)
-                parts = [main]
-                for d in added:
-                    sampler = WrapperSampler(d, min(n, len(d)), self.seed)
-                    self._samplers.append(sampler)
-                    parts.append(sampler)
-            elif self.balance_mode == "main_hdf_balanced":
+                # reference hdf.py:249-269: others POOLED into one concat,
+                # then ONE sampler draws n_added_data (default len(main))
+                # items from the pool — NOT len(main) from each
+                main = mains[0] if len(mains) == 1 else AACConcat(*mains)
+                pooled = added[0] if len(added) == 1 else AACConcat(*added)
                 n = self.n_added_data or len(main)
-                parts = [main]
-                for d in added:
-                    sampler = WrapperSampler(d, min(n, len(d)), self.seed)
-                    self._samplers.append(sampler)
-                    parts.append(sampler)
+                sampler = WrapperSampler(pooled, min(n, len(pooled)), self.seed)
+                self._samplers.append(sampler)
+                parts = [main, sampler]
+            else:  # main_hdf_balanced
+                # reference hdf.py:271-311: each main stays a separate
+                # part, others pooled; EVERY part is equalized to exactly
+                # n = n_added_data or max(part sizes): duplicate if
+                # smaller, subsample if bigger
+                pooled = added[0] if len(added) == 1 else AACConcat(*added)
+                all_parts: list[AACDatasetLike] = [*mains, pooled]
+                n = self.n_added_data or max(len(p) for p in all_parts)
+                parts = []
+                for p in all_parts:
+                    if len(p) == n:
+                        parts.append(p)
+                    elif len(p) < n:
+                        parts.append(AACDuplicate(p, n))
+                    else:
+                        sampler = WrapperSampler(p, n, self.seed)
+                        self._samplers.append(sampler)
+                        parts.append(sampler)
             train = AACConcat(*parts) if len(parts) > 1 else parts[0]
         self._train = train
 

@@ -265,7 +265,7 @@ class AACTokenizer:
         sentences: Iterable[str],
         add_bos_eos: bool = True,
         out_type: str = "np",
-        default: None | str | int = None,
+        default: Any = ...,
         padding: PaddingMode = None,
         dtype: Any = np.int32,
     ) -> Union[np.ndarray, list]:
@@ -273,6 +273,11 @@ class AACTokenizer:
 
         ``out_type``: "str" (tokens), "int" (python ids) or "np"/"Tensor"/"pt"
         (numpy array when lengths are uniform, else list of arrays).
+        ``default``: id for out-of-vocabulary tokens — ``...`` (the
+        reference's own default, ``aac_tokenizer.py:395-412``) maps OOV to
+        ``<unk>``; ``None`` raises. OOV happens in production whenever the
+        per-epoch ``WrapperSampler`` re-draw surfaces added-dataset items
+        whose words were absent from the tokenizer-fit epoch.
         Parity contract: ``aac_tokenizer.py:390-472``.
         """
         tokenized = self.tokenize_batch(sentences, add_bos_eos, padding)
@@ -303,7 +308,7 @@ class AACTokenizer:
         sentence: str,
         add_bos_eos: bool = True,
         out_type: str = "np",
-        default: None | str | int = None,
+        default: Any = ...,
         padding: PaddingMode = None,
         dtype: Any = np.int32,
     ) -> np.ndarray:
@@ -316,7 +321,7 @@ class AACTokenizer:
         nested_sentences: Union[str, Iterable],
         add_bos_eos: bool = True,
         out_type: str = "np",
-        default: None | str | int = None,
+        default: Any = ...,
         padding: PaddingMode = None,
         dtype: Any = np.int32,
     ) -> Any:

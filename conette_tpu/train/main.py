@@ -130,6 +130,9 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         bsize=int(dm_cfg.get("bsize", 512)),
         main_hdf_pattern=dm_cfg.get("main_hdf_pattern"),
         balance_mode=dm_cfg.get("balance_mode", "none"),
+        main_hdf_duplicate=dm_cfg.get("main_hdf_duplicate"),
+        main_hdf_min=dm_cfg.get("main_hdf_min"),
+        main_hdf_balanced=dm_cfg.get("main_hdf_balanced"),
         n_added_data=dm_cfg.get("n_added_data"),
         caption_quantum=int(dm_cfg.get("caption_quantum", 4)),
         caption_max_len=int(dm_cfg.get("caption_max_len", 64)),

@@ -92,7 +92,9 @@ def main() -> int:
 
     steps_s = args.iters / dt
     samples_s = steps_s * args.batch
-    epoch_clips = 70_000  # balanced CL+AC+MA+WC (main_hdf_min) epoch size
+    # reference main_hdf_min epoch (hdf.py:249-269): len(clotho_dev) main
+    # clips + the SAME count sampled from the pooled AC+MA+WC others
+    epoch_clips = 2 * 3_839
     print(
         json.dumps(
             {

@@ -676,6 +676,26 @@ def _install_nltk_stopwords() -> None:
         nltk.data.path.append(str(root))
 
 
+def _install_lrscheduler_compat() -> None:
+    """torch >= 2 removed the ``verbose`` kwarg from
+    ``LRScheduler.__init__`` that the reference's vendored
+    ``CyclicCosineDecayLR`` (written for torch 1.x) passes through
+    (``optim/cyclic_cos_decay.py:145-147``). Install a compat
+    ``_LRScheduler`` that swallows it BEFORE any reference import that can
+    reach the optim chain — the vendored class binds the base at class
+    *definition* time, so patching after ``conette.optim`` is imported is
+    too late."""
+    import torch.optim.lr_scheduler as _lrs
+
+    if "verbose" not in _lrs._LRScheduler.__init__.__code__.co_varnames:
+
+        class _CompatLRScheduler(_lrs.LRScheduler):
+            def __init__(self, optimizer, last_epoch=-1, verbose=False):
+                super().__init__(optimizer, last_epoch)
+
+        _lrs._LRScheduler = _CompatLRScheduler
+
+
 def load_reference_plm() -> SimpleNamespace:
     """Import the reference's ACTUAL Lightning-module layer
     (``pl_modules/{conette,baseline,common,base}.py`` + the real
@@ -684,6 +704,7 @@ def load_reference_plm() -> SimpleNamespace:
     against the JAX train/val/decode stack."""
     if not REF_SRC.is_dir():
         raise FileNotFoundError(f"reference tree not found: {REF_SRC}")
+    _install_lrscheduler_compat()
     _install_torchoutil_plm_extras()
     _install_lightning_shim()
     _install_spacy_shim()
@@ -863,15 +884,7 @@ def load_reference_optim() -> SimpleNamespace:
     if not REF_SRC.is_dir():
         raise FileNotFoundError(f"reference tree not found: {REF_SRC}")
 
-    import torch.optim.lr_scheduler as _lrs
-
-    if "verbose" not in _lrs._LRScheduler.__init__.__code__.co_varnames:
-
-        class _CompatLRScheduler(_lrs.LRScheduler):
-            def __init__(self, optimizer, last_epoch=-1, verbose=False):
-                super().__init__(optimizer, last_epoch)
-
-        _lrs._LRScheduler = _CompatLRScheduler
+    _install_lrscheduler_compat()
 
     prev_dwb = sys.dont_write_bytecode
     sys.dont_write_bytecode = True
@@ -943,4 +956,190 @@ def load_reference_transforms() -> SimpleNamespace:
         Mixup=mixup.Mixup,
         spec_aug_module=spec_aug,
         mixup_module=mixup,
+    )
+
+
+def load_reference_datasets() -> SimpleNamespace:
+    """Import the reference's ACTUAL dataset wrappers
+    (``datasets/utils.py``: AACSubset/AACConcat/AACDuplicate/
+    WrapperSampler/Duplicate) so the balancing semantics in
+    ``tests/test_reference_datasets_parity.py`` are checked against real
+    reference code. Needs tiny shims for ``lightning_fabric`` seed
+    (pulled via ``conette.utils.misc``), ``torchaudio`` metadata types,
+    and ``torchoutil.utils.data.dataset.SizedDatasetLike`` (a typing
+    protocol used only as a generic parameter)."""
+    if not REF_SRC.is_dir():
+        raise FileNotFoundError(f"reference tree not found: {REF_SRC}")
+    _install_torchoutil_shim()
+    _install_torchaudio_shim()
+
+    if "torchaudio.backend.common" not in sys.modules:
+        backend = types.ModuleType("torchaudio.backend")
+        common = types.ModuleType("torchaudio.backend.common")
+
+        class AudioMetaData:
+            def __init__(
+                self,
+                sample_rate=0,
+                num_frames=0,
+                num_channels=0,
+                bits_per_sample=0,
+                encoding="",
+            ):
+                self.sample_rate = sample_rate
+                self.num_frames = num_frames
+                self.num_channels = num_channels
+                self.bits_per_sample = bits_per_sample
+                self.encoding = encoding
+
+        common.AudioMetaData = AudioMetaData
+        backend.common = common
+        sys.modules["torchaudio"].backend = backend
+        sys.modules["torchaudio.backend"] = backend
+        sys.modules["torchaudio.backend.common"] = common
+
+    if "lightning_fabric" not in sys.modules:
+        lf = types.ModuleType("lightning_fabric")
+        lf_util = types.ModuleType("lightning_fabric.utilities")
+        lf_seed = types.ModuleType("lightning_fabric.utilities.seed")
+
+        def seed_everything(seed=None, workers=False):
+            if seed is not None:
+                torch.manual_seed(seed)
+            return seed
+
+        lf_seed.seed_everything = seed_everything
+        lf.utilities = lf_util
+        lf_util.seed = lf_seed
+        sys.modules["lightning_fabric"] = lf
+        sys.modules["lightning_fabric.utilities"] = lf_util
+        sys.modules["lightning_fabric.utilities.seed"] = lf_seed
+
+    if "torchoutil.utils.data" not in sys.modules:
+        data_mod = types.ModuleType("torchoutil.utils.data")
+        ds_mod = types.ModuleType("torchoutil.utils.data.dataset")
+
+        class SizedDatasetLike:
+            def __class_getitem__(cls, item):
+                return cls
+
+        ds_mod.SizedDatasetLike = SizedDatasetLike
+        data_mod.dataset = ds_mod
+        # torchoutil.utils exists from _install_torchoutil_hf_extras or
+        # needs creating here
+        utils_mod = sys.modules.get("torchoutil.utils")
+        if utils_mod is None:
+            utils_mod = types.ModuleType("torchoutil.utils")
+            sys.modules["torchoutil.utils"] = utils_mod
+            sys.modules["torchoutil"].utils = utils_mod
+        utils_mod.data = data_mod
+        sys.modules["torchoutil.utils.data"] = data_mod
+        sys.modules["torchoutil.utils.data.dataset"] = ds_mod
+
+    prev_dwb = sys.dont_write_bytecode
+    sys.dont_write_bytecode = True
+    try:
+        if "conette" not in sys.modules:
+            pkg = types.ModuleType("conette")
+            pkg.__path__ = [str(REF_SRC / "conette")]
+            sys.modules["conette"] = pkg
+        utils = importlib.import_module("conette.datasets.utils")
+    finally:
+        sys.dont_write_bytecode = prev_dwb
+
+    return SimpleNamespace(
+        AACSubset=utils.AACSubset,
+        AACConcat=utils.AACConcat,
+        AACDuplicate=utils.AACDuplicate,
+        Duplicate=utils.Duplicate,
+        WrapperSampler=utils.WrapperSampler,
+        module=utils,
+    )
+
+
+def load_reference_collate() -> SimpleNamespace:
+    """Import the reference's ACTUAL ``datamodules/collate.py``
+    (``CollateDict``/``AdvancedCollateDict``). torchoutil shims:
+    ``pad_and_stack_rec`` (pad every axis of a flat tensor list to the
+    per-axis max, then stack), ``can_be_stacked`` (uniform shapes),
+    ``SHAPE_SUFFIX`` ("_shape" — the suffix torchoutil's HDF packer gives
+    shape-companion columns)."""
+    if not REF_SRC.is_dir():
+        raise FileNotFoundError(f"reference tree not found: {REF_SRC}")
+    _install_torchoutil_shim()
+    func = sys.modules["torchoutil.nn.functional"]
+
+    if not hasattr(func, "pad_and_stack_rec"):
+
+        def can_be_stacked(tensors):
+            tensors = list(tensors)
+            if not tensors or not all(
+                isinstance(t, torch.Tensor) for t in tensors
+            ):
+                return False
+            return all(t.shape == tensors[0].shape for t in tensors)
+
+        def pad_and_stack_rec(items, pad_value=0.0, dtype=None):
+            if isinstance(items, torch.Tensor):
+                return items
+            items = [
+                it if isinstance(it, torch.Tensor) else torch.as_tensor(it)
+                for it in items
+            ]
+            ndim = items[0].ndim
+            assert all(it.ndim == ndim for it in items)
+            max_shape = [
+                max(it.shape[d] for it in items) for d in range(ndim)
+            ]
+            out = torch.full(
+                (len(items), *max_shape),
+                pad_value,
+                dtype=dtype or items[0].dtype,
+            )
+            for i, it in enumerate(items):
+                out[(i,) + tuple(slice(0, s) for s in it.shape)] = it
+            return out
+
+        func.can_be_stacked = can_be_stacked
+        func.pad_and_stack_rec = pad_and_stack_rec
+
+    if "torchoutil.utils.hdf" not in sys.modules:
+        utils_mod = sys.modules.get("torchoutil.utils")
+        if utils_mod is None:
+            utils_mod = types.ModuleType("torchoutil.utils")
+            sys.modules["torchoutil.utils"] = utils_mod
+            sys.modules["torchoutil"].utils = utils_mod
+        if not hasattr(utils_mod, "collections"):
+            coll = types.ModuleType("torchoutil.utils.collections")
+
+            def all_eq(it, ne_fn=None):
+                seq = list(it)
+                return all(item == seq[0] for item in seq)
+
+            coll.all_eq = all_eq
+            utils_mod.collections = coll
+            sys.modules["torchoutil.utils.collections"] = coll
+        hdf_mod = types.ModuleType("torchoutil.utils.hdf")
+        hdf_common = types.ModuleType("torchoutil.utils.hdf.common")
+        hdf_common.SHAPE_SUFFIX = "_shape"
+        hdf_mod.common = hdf_common
+        utils_mod.hdf = hdf_mod
+        sys.modules["torchoutil.utils.hdf"] = hdf_mod
+        sys.modules["torchoutil.utils.hdf.common"] = hdf_common
+
+    prev_dwb = sys.dont_write_bytecode
+    sys.dont_write_bytecode = True
+    try:
+        if "conette" not in sys.modules:
+            pkg = types.ModuleType("conette")
+            pkg.__path__ = [str(REF_SRC / "conette")]
+            sys.modules["conette"] = pkg
+        collate = importlib.import_module("conette.datamodules.collate")
+    finally:
+        sys.dont_write_bytecode = prev_dwb
+
+    return SimpleNamespace(
+        CollateDict=collate.CollateDict,
+        AdvancedCollateDict=collate.AdvancedCollateDict,
+        module=collate,
     )

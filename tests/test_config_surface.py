@@ -66,7 +66,6 @@ def test_production_recipe_resolves():
     ]
     assert len(cfg.dm.train_hdfs) == 7
     assert cfg.dm.main_hdf_min.startswith("clotho_dev")
-    assert cfg.dm.balance_mode == "main_hdf_min"
     # hp_clotho_v2 pack pulled in by camw_cnext_bl_for_c's defaults
     assert cfg.pl.label_smoothing == 0.2
     assert cfg.pl.beam_size == 3
