@@ -228,10 +228,18 @@ class HDFDataModule:
         self._train = train
 
         if not self.tokenizer.is_fit():
+            # fit on ALL RAW train captions in train_hdfs order, NOT the
+            # balanced view (reference hdf.py:224-231,330-332 collects
+            # train_mrefs from the pre-balance dataset list): balancing
+            # would change the vocab SET (a pool sampler surfaces only an
+            # epoch-1 subset of e.g. WavCaps), the id ORDER (min mode puts
+            # the main dataset first regardless of its train_hdfs slot)
+            # and the counts (duplicated mains double their words).
             captions = []
-            for i in range(len(train)):
-                refs = train.at(i, "captions")
-                captions.extend(refs if isinstance(refs, list) else [refs])
+            for ds in datasets:
+                for i in range(len(ds)):
+                    refs = ds.at(i, "captions")
+                    captions.extend(refs if isinstance(refs, list) else [refs])
             self.tokenizer.fit(captions)
             pylog.info(
                 f"Fit tokenizer on {len(captions)} captions "

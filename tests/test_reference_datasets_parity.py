@@ -294,6 +294,34 @@ class TestBalanceComposition:
         with pytest.raises(ValueError, match="not in train_hdfs"):
             _mk_dm(tmp_path, [main], main_hdf_min="nope.hdf")
 
+    def test_tokenizer_fit_on_raw_corpus_not_balanced_view(self, tmp_path):
+        """The reference collects train_mrefs from the PRE-balance dataset
+        list in train_hdfs order (hdf.py:224-231) and fits on that
+        (hdf.py:330-332). The balanced view must not leak into the fit:
+        under min mode it would (a) drop pool words the epoch-1 sampler
+        missed — vocab SET, (b) reorder (main first regardless of its
+        train_hdfs slot) — id ORDER."""
+        from conette_tpu.tokenization import AACTokenizer
+
+        # main is the SECOND file; pool 40 >> sample 4, so a
+        # balanced-view fit would both miss words and reorder ids
+        pool = _pack(tmp_path, "wavcaps", 40, 1)
+        main = _pack(tmp_path, "clotho", 4, 0)
+        dm = _mk_dm(tmp_path, [pool, main], main_hdf_min="clotho_x.hdf")
+
+        raw = []
+        for name, n in (("wavcaps", 40), ("clotho", 4)):
+            for i in range(n):
+                raw.extend(f"{name} item {i} ref {j}" for j in range(5))
+        oracle = AACTokenizer()
+        oracle.fit(raw)
+
+        assert dm.tokenizer.get_vocab_size() == oracle.get_vocab_size()
+        assert dm.tokenizer._stoi == oracle._stoi
+        # the balanced view only surfaces 4-of-40 pool items, so every
+        # "item N" numeral of the missed rows exists ONLY via the raw fit
+        assert "39" in dm.tokenizer._stoi
+
     def test_epoch_resample_changes_added_only(self, tmp_path):
         """reload_dataloaders_every_n_epochs=1 twin: resampling swaps the
         added items, never the main ones (hdf.py:180-187)."""
