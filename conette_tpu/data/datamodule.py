@@ -288,6 +288,10 @@ class HDFDataModule:
             ref = refs[int(item_rng.integers(len(refs)))]
         else:
             ref = refs
+        # train-time OOV RAISES like the reference's train transform
+        # (hdf.py:332-338 passes default=None) — after a raw-corpus fit
+        # every train word is in-vocab, so OOV here means a fit/vocab bug
+        # that must surface, not map to <unk>
         caps = self.tokenizer.encode_single(ref, add_bos_eos=True)
         caps = caps[: self.caption_max_len]
         audio = np.asarray(item["audio"], np.float32)
@@ -304,7 +308,12 @@ class HDFDataModule:
     def _eval_item(self, ds: AACDatasetLike, idx: int, subset: str) -> dict[str, Any]:
         item = ds[idx]
         refs = item["captions"] if isinstance(item["captions"], list) else [item["captions"]]
-        encoded = self.tokenizer.encode_batch(refs, add_bos_eos=True, padding="batch")
+        # eval maps OOV to <unk> explicitly like the reference's val/test
+        # transforms (hdf.py:339-349,386-396 pass default=unk_token)
+        encoded = self.tokenizer.encode_batch(
+            refs, add_bos_eos=True, padding="batch",
+            default=self.tokenizer.unk_token,
+        )
         if isinstance(encoded, list):
             encoded, _ = _stack_ragged(encoded)
         audio = np.asarray(item["audio"], np.float32)

@@ -265,7 +265,7 @@ class AACTokenizer:
         sentences: Iterable[str],
         add_bos_eos: bool = True,
         out_type: str = "np",
-        default: Any = ...,
+        default: None | str | int = None,
         padding: PaddingMode = None,
         dtype: Any = np.int32,
     ) -> Union[np.ndarray, list]:
@@ -273,11 +273,12 @@ class AACTokenizer:
 
         ``out_type``: "str" (tokens), "int" (python ids) or "np"/"Tensor"/"pt"
         (numpy array when lengths are uniform, else list of arrays).
-        ``default``: id for out-of-vocabulary tokens — ``...`` (the
-        reference's own default, ``aac_tokenizer.py:395-412``) maps OOV to
-        ``<unk>``; ``None`` raises. OOV happens in production whenever the
-        per-epoch ``WrapperSampler`` re-draw surfaces added-dataset items
-        whose words were absent from the tokenizer-fit epoch.
+        ``default``: id for out-of-vocabulary tokens — ``None`` (the
+        reference's ACTUAL signature default, ``aac_tokenizer.py:395`` —
+        its docstring claims ``...`` but the code raises) raises;
+        ``...`` maps OOV to ``<unk>``. The reference's callers pass unk
+        explicitly on the eval paths (``hdf.py:339-349``) and leave the
+        raising default on the train path.
         Parity contract: ``aac_tokenizer.py:390-472``.
         """
         tokenized = self.tokenize_batch(sentences, add_bos_eos, padding)
@@ -308,7 +309,7 @@ class AACTokenizer:
         sentence: str,
         add_bos_eos: bool = True,
         out_type: str = "np",
-        default: Any = ...,
+        default: None | str | int = None,
         padding: PaddingMode = None,
         dtype: Any = np.int32,
     ) -> np.ndarray:
@@ -321,7 +322,7 @@ class AACTokenizer:
         nested_sentences: Union[str, Iterable],
         add_bos_eos: bool = True,
         out_type: str = "np",
-        default: Any = ...,
+        default: None | str | int = None,
         padding: PaddingMode = None,
         dtype: Any = np.int32,
     ) -> Any:
