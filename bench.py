@@ -241,7 +241,50 @@ def bench_cpu_torch() -> float:
     return n / dt
 
 
+def _probe_device(attempts: int = 5, timeout_s: int = 60, backoff_s: int = 30) -> bool:
+    """The tunneled chip intermittently stalls WHOLE dispatches (observed:
+    even an 8x8 sum never returns, for minutes at a stretch). A hung PJRT
+    call cannot be cancelled in-process, so probe in a SUBPROCESS that can
+    be abandoned, and retry with backoff before committing this process to
+    the real bench. Returns False if the device never answers."""
+    import subprocess
+
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp;"
+        "print(float(np.asarray(jnp.sum(jnp.ones((8, 8))))))"
+    )
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0 and b"64.0" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"device probe stalled (attempt {i + 1}/{attempts}); "
+            f"retrying in {backoff_s}s",
+            file=sys.stderr,
+        )
+        time.sleep(backoff_s)
+    return False
+
+
+def _hard_exit(rc: int) -> None:
+    """PJRT client teardown can hang forever over the tunnel; the JSON line
+    is already printed, so skip interpreter shutdown entirely."""
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
+
+
 def main() -> int:
+    if not _probe_device():
+        print("bench aborted: TPU tunnel not answering", file=sys.stderr)
+        return 1
     if os.path.isfile(CACHE_FILE):
         with open(CACHE_FILE) as f:
             cpu_cps = json.load(f)["clips_per_sec"]
@@ -360,7 +403,7 @@ def sweep() -> int:
 
 if __name__ == "__main__":
     if "--profile" in sys.argv:
-        sys.exit(profile())
+        _hard_exit(profile())
     if "--sweep" in sys.argv:
-        sys.exit(sweep())
-    sys.exit(main())
+        _hard_exit(sweep())
+    _hard_exit(main())
