@@ -27,7 +27,11 @@ def get_predict_args(argv: Optional[list[str]] = None) -> argparse.Namespace:
         "--audio", type=str, nargs="+", default=[get_sample_path()],
         help="Audio file paths to caption.",
     )
-    parser.add_argument("--task", type=str, nargs="+", default=["clotho"], help="Task token(s).")
+    parser.add_argument(
+        "--task", type=str, nargs="+", default=None,
+        help="Task token(s); defaults to the model's default_task "
+        "(reference predict.py:40-46 passes None through).",
+    )
     parser.add_argument("--model_name", type=str, default=DEFAULT_MODEL_NAME)
     parser.add_argument("--model_path", type=str, default=None, help="Local model/run directory.")
     parser.add_argument("--device", type=str, default="auto", help="Accepted for parity; JAX places arrays.")
@@ -70,6 +74,8 @@ def main_predict(argv: Optional[list[str]] = None) -> int:
     )
 
     tasks = args.task
+    if tasks is None:
+        tasks = [model.default_task] * len(args.audio)
     if len(tasks) == 1:
         tasks = tasks * len(args.audio)
     if len(tasks) != len(args.audio):
