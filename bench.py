@@ -262,14 +262,28 @@ def _probe_device(attempts: int = 5, timeout_s: int = 60, backoff_s: int = 30) -
             )
             if r.returncode == 0 and b"64.0" in r.stdout:
                 return True
+            # a fast non-zero exit is NOT a stall — surface the real error
+            # (broken install, bad flags) instead of retrying blindly
+            print(
+                f"device probe exited rc={r.returncode}:\n"
+                f"{r.stderr.decode(errors='replace')[-2000:]}",
+                file=sys.stderr,
+            )
+            return False
         except subprocess.TimeoutExpired:
             pass
-        print(
-            f"device probe stalled (attempt {i + 1}/{attempts}); "
-            f"retrying in {backoff_s}s",
-            file=sys.stderr,
-        )
-        time.sleep(backoff_s)
+        if i + 1 < attempts:
+            print(
+                f"device probe stalled (attempt {i + 1}/{attempts}); "
+                f"retrying in {backoff_s}s",
+                file=sys.stderr,
+            )
+            time.sleep(backoff_s)
+        else:
+            print(
+                f"device probe stalled (attempt {i + 1}/{attempts})",
+                file=sys.stderr,
+            )
     return False
 
 
@@ -402,8 +416,9 @@ def sweep() -> int:
 
 
 if __name__ == "__main__":
-    if "--profile" in sys.argv:
-        _hard_exit(profile())
-    if "--sweep" in sys.argv:
-        _hard_exit(sweep())
+    if "--profile" in sys.argv or "--sweep" in sys.argv:
+        if not _probe_device():
+            print("bench aborted: TPU tunnel not answering", file=sys.stderr)
+            _hard_exit(1)
+        _hard_exit(profile() if "--profile" in sys.argv else sweep())
     _hard_exit(main())

@@ -150,6 +150,7 @@ class HDFDataModule:
         # kept as fallback.
         import os.path as osp
 
+        main_order: list[int] = []
         if self.main_hdf_names:
             names = [osp.basename(ds.fpath) for ds in datasets]
             missing = [n for n in self.main_hdf_names if n not in names]
@@ -157,13 +158,19 @@ class HDFDataModule:
                 raise ValueError(
                     f"main HDF name(s) {missing} not in train_hdfs {names}"
                 )
-            is_main = [n in self.main_hdf_names for n in names]
+            # the reference resolves each main via train_hdfs.index(name)
+            # (hdf.py:235,250,277): FIRST occurrence only (a second listing
+            # of the same file counts as added data), and — for balanced —
+            # mains keep the main_hdf_balanced LIST order, not train order
+            main_order = [names.index(n) for n in self.main_hdf_names]
+            is_main = [i in main_order for i in range(len(datasets))]
         else:
             is_main = [
                 self.main_hdf_pattern is not None
                 and self.main_hdf_pattern in ds.fpath
                 for ds in datasets
             ]
+            main_order = [i for i, m in enumerate(is_main) if m]
         if self.balance_mode == "none" or not any(is_main):
             if self.balance_mode != "none" and not any(is_main):
                 pylog.warning(
@@ -175,8 +182,20 @@ class HDFDataModule:
                 datasets[0] if len(datasets) == 1 else AACConcat(*datasets)
             )
         else:
-            mains = [d for d, m in zip(datasets, is_main) if m]
-            added = [d for d, m in zip(datasets, is_main) if not m]
+            # mains in main_hdf_balanced LIST order (reference hdf.py:277
+            # builds tgt_dsets by iterating main_hdf_balanced, not
+            # train_hdfs — the shipped for_ac recipe lists them reversed)
+            mains = [datasets[i] for i in main_order]
+            added = [
+                d for i, d in enumerate(datasets) if i not in main_order
+            ]
+            if not added:
+                raise ValueError(
+                    f"balance mode {self.balance_mode!r} needs at least one "
+                    f"non-main train HDF (all {len(datasets)} train_hdfs are "
+                    "main)"
+                )
+            pooled = added[0] if len(added) == 1 else AACConcat(*added)
             parts: list[AACDatasetLike]
             if self.balance_mode == "main_hdf_duplicate":
                 # reference hdf.py:234-248: duplicate the main dataset IN
@@ -186,23 +205,22 @@ class HDFDataModule:
                 other_sum = sum(len(d) for d in added)
                 if len(main) < other_sum:
                     main = AACDuplicate(main, other_sum)
+                first_main = main_order[0]
                 parts = [
-                    main if m else d for d, m in zip(datasets, is_main)
-                ]
-                # collapse the duplicated main to one part at its first slot
-                first_main = is_main.index(True)
-                parts = [
-                    p
-                    for i, p in enumerate(parts)
-                    if not is_main[i] or i == first_main
+                    main if i == first_main else d
+                    for i, d in enumerate(datasets)
+                    if i == first_main or i not in main_order
                 ]
             elif self.balance_mode == "main_hdf_min":
                 # reference hdf.py:249-269: others POOLED into one concat,
                 # then ONE sampler draws n_added_data (default len(main))
                 # items from the pool — NOT len(main) from each
                 main = mains[0] if len(mains) == 1 else AACConcat(*mains)
-                pooled = added[0] if len(added) == 1 else AACConcat(*added)
-                n = self.n_added_data or len(main)
+                n = (
+                    self.n_added_data
+                    if self.n_added_data is not None
+                    else len(main)
+                )
                 sampler = WrapperSampler(pooled, min(n, len(pooled)), self.seed)
                 self._samplers.append(sampler)
                 parts = [main, sampler]
@@ -211,17 +229,24 @@ class HDFDataModule:
                 # part, others pooled; EVERY part is equalized to exactly
                 # n = n_added_data or max(part sizes): duplicate if
                 # smaller, subsample if bigger
-                pooled = added[0] if len(added) == 1 else AACConcat(*added)
                 all_parts: list[AACDatasetLike] = [*mains, pooled]
-                n = self.n_added_data or max(len(p) for p in all_parts)
+                n = (
+                    self.n_added_data
+                    if self.n_added_data is not None
+                    else max(len(p) for p in all_parts)
+                )
                 parts = []
-                for p in all_parts:
+                for k, p in enumerate(all_parts):
                     if len(p) == n:
                         parts.append(p)
                     elif len(p) < n:
                         parts.append(AACDuplicate(p, n))
                     else:
-                        sampler = WrapperSampler(p, n, self.seed)
+                        # per-part seed offset: equal-sized parts must not
+                        # draw lockstep permutations (the reference uses
+                        # independent unseeded generators, utils.py:329-343;
+                        # we keep determinism but decorrelate)
+                        sampler = WrapperSampler(p, n, self.seed + k)
                         self._samplers.append(sampler)
                         parts.append(sampler)
             train = AACConcat(*parts) if len(parts) > 1 else parts[0]
@@ -237,8 +262,11 @@ class HDFDataModule:
             # and the counts (duplicated mains double their words).
             captions = []
             for ds in datasets:
-                for i in range(len(ds)):
-                    refs = ds.at(i, "captions")
+                if hasattr(ds, "column"):
+                    rows = ds.column("captions")  # one vectorized h5py read
+                else:
+                    rows = [ds.at(i, "captions") for i in range(len(ds))]
+                for refs in rows:
                     captions.extend(refs if isinstance(refs, list) else [refs])
             self.tokenizer.fit(captions)
             pylog.info(

@@ -118,6 +118,24 @@ class HDFDataset:
             return json.loads(value)
         return value
 
+    def column(self, column: str) -> list:
+        """Bulk-read a whole column in ONE vectorized h5py read (the
+        reference's ``at(None, column)``, torchoutil HDFDataset) — per-row
+        ``at`` calls cost a dataset lookup + scalar read each, which is
+        minutes of startup on a 400k-row WavCaps pack."""
+        values = self._file[column][:]
+        if values.dtype.kind in ("S", "O", "U"):
+            out = []
+            for v in values:
+                if isinstance(v, bytes):
+                    out.append(json.loads(v.decode()))
+                elif isinstance(v, str):
+                    out.append(json.loads(v))
+                else:
+                    out.append(v)
+            return out
+        return list(values)
+
     def __getitem__(self, idx: int) -> dict[str, Any]:
         return {c: self.at(idx, c) for c in self._columns}
 

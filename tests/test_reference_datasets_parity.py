@@ -277,6 +277,74 @@ class TestBalanceComposition:
         assert srcs[:8] == ["audiocaps"] * 8  # 6 -> 8 duplicated
         assert srcs[8:] == ["wavcaps"] * 8  # 9 -> 8 sampled
 
+    def test_main_hdf_balanced_mains_keep_list_order(self, tmp_path):
+        """The reference iterates main_hdf_balanced, not train_hdfs, when
+        assembling the main parts (hdf.py:277-311) — the shipped for_ac
+        recipe lists clotho first in train_hdfs but audiocaps first in
+        main_hdf_balanced, so composition order follows the mode key."""
+        m_cl = _pack(tmp_path, "clotho", 6, 0)
+        m_ac = _pack(tmp_path, "audiocaps", 6, 1)
+        a1 = _pack(tmp_path, "wavcaps", 6, 2)
+        dm = _mk_dm(
+            tmp_path,
+            [m_cl, m_ac, a1],  # train order: clotho, audiocaps, others
+            main_hdf_balanced=["audiocaps_x.hdf", "clotho_x.hdf"],
+        )
+        srcs = _srcs_of_train(dm)
+        assert srcs[:6] == ["audiocaps"] * 6  # list order wins
+        assert srcs[6:12] == ["clotho"] * 6
+
+    def test_n_added_data_zero_honored(self, tmp_path):
+        """The reference honors an explicit 0 ('if n_added_data is not
+        None', hdf.py:256-259): train on the main set only."""
+        main = _pack(tmp_path, "clotho", 6, 0)
+        a1 = _pack(tmp_path, "wavcaps", 10, 1)
+        dm = _mk_dm(
+            tmp_path, [main, a1], main_hdf_min="clotho_x.hdf", n_added_data=0
+        )
+        assert len(dm.train_dataset) == 6
+
+    def test_duplicate_listing_counts_second_copy_as_added(self, tmp_path):
+        """train_hdfs.index(name) marks only the FIRST occurrence as main
+        (hdf.py:250): a second listing of the same file joins the pool."""
+        main = _pack(tmp_path, "clotho", 6, 0)
+        dm = _mk_dm(
+            tmp_path, [main, main], main_hdf_min="clotho_x.hdf"
+        )
+        # 6 main + 6 sampled from the 6-item pool (the second copy)
+        assert len(dm.train_dataset) == 12
+
+    def test_balance_mode_without_added_raises_clearly(self, tmp_path):
+        main = _pack(tmp_path, "clotho", 6, 0)
+        with pytest.raises(ValueError, match="non-main"):
+            _mk_dm(tmp_path, [main], main_hdf_min="clotho_x.hdf")
+
+    def test_balanced_samplers_decorrelated(self, tmp_path):
+        """Two same-sized oversampled parts must not draw lockstep
+        permutations (the reference uses independent unseeded generators,
+        utils.py:329-343; we keep determinism with per-part seed offsets)."""
+        m1 = _pack(tmp_path, "audiocaps", 12, 0)
+        m2 = _pack(tmp_path, "clotho", 12, 1)
+        a1 = _pack(tmp_path, "wavcaps", 4, 2)
+        dm = _mk_dm(
+            tmp_path,
+            [m1, m2, a1],
+            main_hdf_balanced=["audiocaps_x.hdf", "clotho_x.hdf"],
+            n_added_data=6,
+        )
+        s1, s2 = dm._samplers[0], dm._samplers[1]
+        assert list(s1._indexes) != list(s2._indexes)
+
+    def test_bulk_column_read_matches_per_row(self, tmp_path):
+        from conette_tpu.data.hdf import HDFDataset
+
+        fpath = _pack(tmp_path, "clotho", 7, 0)
+        ds = HDFDataset(fpath)
+        assert ds.column("captions") == [
+            ds.at(i, "captions") for i in range(7)
+        ]
+        assert ds.column("fname") == [ds.at(i, "fname") for i in range(7)]
+
     def test_mode_keys_exclusive(self, tmp_path):
         from conette_tpu.data.datamodule import HDFDataModule
         from conette_tpu.tokenization import AACTokenizer
