@@ -72,6 +72,7 @@ class HDFDataModule:
         main_hdf_min: str | None = None,
         main_hdf_balanced: Sequence[str] | None = None,
         n_added_data: int | None = None,
+        reload_every_n_epochs: int = 0,
         caption_quantum: int = 4,
         caption_max_len: int = 64,
         seed: int = 1234,
@@ -119,6 +120,7 @@ class HDFDataModule:
         self.main_hdf_pattern = main_hdf_pattern
         self.balance_mode = balance_mode
         self.n_added_data = n_added_data
+        self.reload_every_n_epochs = int(reload_every_n_epochs)
         self.caption_quantum = caption_quantum
         self.caption_max_len = caption_max_len
         self.seed = seed
@@ -405,8 +407,14 @@ class HDFDataModule:
         single-process run's batch row-for-row (the per-epoch permutation
         is seed-deterministic and identical on all processes)."""
         assert self._train is not None, "call setup_fit() first"
-        for sampler in self._samplers:
-            sampler.resample()
+        # samplers re-draw only when the reference would rebuild the
+        # dataloader: trainer.reload_dataloaders_every_n_epochs (default 0
+        # = keep the fit-start draw; the camw_* balancing recipes set 1 —
+        # reference hdf.py:180-187 reset_indexes on each dataloader build)
+        reload_n = self.reload_every_n_epochs
+        if reload_n and epoch > 0 and epoch % reload_n == 0:
+            for sampler in self._samplers:
+                sampler.resample(epoch=epoch)
         collate = self._collate()
         order = np.random.default_rng(self.seed + epoch).permutation(len(self._train))
         global_bsize = self.bsize * self.process_count

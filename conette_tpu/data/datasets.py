@@ -165,12 +165,22 @@ class WrapperSampler(Wrapper):
     def __init__(self, source: AACDatasetLike, n_max: int, seed: int = 1234) -> None:
         super().__init__(source)
         self._n_max = min(n_max, len(source))
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._indexes = np.arange(self._n_max)
         self.resample()
 
-    def resample(self) -> None:
-        self._indexes = self._rng.permutation(len(self._source))[: self._n_max]
+    def resample(self, epoch: int | None = None) -> None:
+        """Re-draw the subsample. With ``epoch`` the draw is a pure
+        function of ``(seed, epoch)`` — resumed runs re-draw the same
+        subset for the same epoch regardless of how many prior epochs were
+        replayed; without it the stateful stream advances (legacy)."""
+        rng = (
+            self._rng
+            if epoch is None
+            else np.random.default_rng((self._seed, int(epoch)))
+        )
+        self._indexes = rng.permutation(len(self._source))[: self._n_max]
 
     def at(self, idx: int, column: str) -> Any:
         return self._source.at(int(self._indexes[idx]), column)

@@ -134,6 +134,12 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         main_hdf_min=dm_cfg.get("main_hdf_min"),
         main_hdf_balanced=dm_cfg.get("main_hdf_balanced"),
         n_added_data=dm_cfg.get("n_added_data"),
+        # the reference resamples added data only when Lightning rebuilds
+        # the dataloader (trainer.reload_dataloaders_every_n_epochs; the
+        # camw_* balancing recipes set 1, default 0 keeps the first draw)
+        reload_every_n_epochs=int(
+            cfg.get("trainer", {}).get("reload_dataloaders_every_n_epochs", 0)
+        ),
         caption_quantum=int(dm_cfg.get("caption_quantum", 4)),
         caption_max_len=int(dm_cfg.get("caption_max_len", 64)),
         seed=seed,

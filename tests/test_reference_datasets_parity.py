@@ -390,6 +390,38 @@ class TestBalanceComposition:
         # "item N" numeral of the missed rows exists ONLY via the raw fit
         assert "39" in dm.tokenizer._stoi
 
+    def test_reload_every_n_epochs_gates_resampling(self, tmp_path):
+        """The reference re-draws added data only when Lightning rebuilds
+        the dataloader (trainer.reload_dataloaders_every_n_epochs;
+        fit_test.yaml:35 defaults 0, the camw_* recipes set 1 — reference
+        hdf.py:180-187). With 0 every epoch trains on the fit-start draw;
+        with 1 the epoch-k draw is a pure function of (seed, epoch), so a
+        resumed run re-draws the same subset."""
+        main = _pack(tmp_path, "clotho", 6, 0)
+        a1 = _pack(tmp_path, "wavcaps", 30, 1)
+
+        def added_caps(dm, epoch):
+            for _ in dm.train_batches(epoch):
+                pass
+            return [dm.train_dataset.at(i, "captions")[0] for i in range(6, 12)]
+
+        dm0 = _mk_dm(tmp_path, [main, a1], main_hdf_min="clotho_x.hdf")
+        assert dm0.reload_every_n_epochs == 0
+        assert added_caps(dm0, 0) == added_caps(dm0, 1) == added_caps(dm0, 5)
+
+        dm1 = _mk_dm(
+            tmp_path, [main, a1], main_hdf_min="clotho_x.hdf",
+            reload_every_n_epochs=1,
+        )
+        e1, e2 = added_caps(dm1, 1), added_caps(dm1, 2)
+        assert e1 != e2
+        # epoch draw is reproducible out of order (resume semantics)
+        dm2 = _mk_dm(
+            tmp_path, [main, a1], main_hdf_min="clotho_x.hdf",
+            reload_every_n_epochs=1,
+        )
+        assert added_caps(dm2, 2) == e2
+
     def test_epoch_resample_changes_added_only(self, tmp_path):
         """reload_dataloaders_every_n_epochs=1 twin: resampling swaps the
         added items, never the main ones (hdf.py:180-187)."""
