@@ -594,90 +594,144 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
 
     # ------------------------------------------------------------ 5/6 test
     test_scores: dict[str, Any] = {}
+    test_by_model: dict[str, dict[str, Any]] = {}
     # Host-0-only corpus scoring — the TPU answer to the reference's
     # "destroy the DDP group and re-test on a fresh rank-0 single-device
     # trainer" handoff (train.py:419-433,489-496): SPICE/FENSE-style metric
     # subprocesses are not distributed-safe, so only host 0 decodes+scores.
+    # testing.run ∈ {"none","last","swa","best"}* — the reference runs a
+    # test (+predict) pass per entry, naming the evaluator after the
+    # weights under test (train.py:297-356; conf/train.yaml:78-81
+    # defaults to [best])
+    testing_run = cfg.get("testing", {}).get("run", ["best"])
+    if isinstance(testing_run, str):
+        testing_run = [testing_run]
+    testing_run = [str(m) for m in testing_run]
     if (
         cfg.get("test_after_fit", True)
         and dm.num_eval_loaders("test") > 0
         and is_main_process()
+        and testing_run != ["none"]
     ):
-        best_params = state.params
-        if ckpt.best_dir is not None:
-            from conette_tpu.train.checkpoint import load_checkpoint
-
-            best_params = load_checkpoint(ckpt.best_dir)["params"]
-            pylog.info(f"Testing with best checkpoint {ckpt.best_dir}")
         from conette_tpu.metrics import AllMetrics
         from conette_tpu.train.evaluation import make_metric_tokenizer
-
-        # "val/fense" -> "best_fense": the reference derives the evaluator's
-        # model name from the checkpoint monitor (train.py:332-338), which is
-        # what prefixes the published CSVs' per-sentence score columns
-        evaluator = Evaluator(
-            run_dir,
-            model_name=f"best_{monitor.rsplit('/', 1)[-1]}",
-            metrics=AllMetrics(
-                tokenizer=make_metric_tokenizer(),
-                train_vocab=list(tokenizer.get_vocab()),
-            ),
-        )
         from conette_tpu.train.objective import per_ref_losses
 
         test_losses_fn = jax.jit(
             lambda p, batch: per_ref_losses(p, model_cfg, batch)
         )
-        for dl_idx in range(dm.num_eval_loaders("test")):
-            for j, b in enumerate(dm.eval_batches("test", dl_idx)):
-                if lim_test is not None and j >= lim_test:
-                    break
-                audio = jnp.asarray(b["audio"])
-                lens = jnp.asarray(b["audio_lens"])
-                bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-                preds, lprobs, mpreds, mlprobs = gen_fn_test(
-                    best_params, audio, lens, bos, forbid
-                )
-                cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
-                mp = np.asarray(mpreds)
-                mcands = [
-                    _decode_preds(tokenizer, model_cfg.eos_id, mp[i])
-                    for i in range(mp.shape[0])
-                ]
-                # per-(clip, ref) forced losses — the reference's `losses`
-                # CSV column (test_step, conette.py:293-350)
-                loss_mat, loss_valid = test_losses_fn(
-                    best_params,
-                    {
-                        "audio": audio,
-                        "audio_lens": lens,
-                        "mult_captions": jnp.asarray(b["mult_captions"]),
-                    },
-                )
-                loss_mat = np.asarray(loss_mat)
-                loss_valid = np.asarray(loss_valid)
-                losses = [
-                    [float(x) for x, ok in zip(row, okr) if ok]
-                    for row, okr in zip(loss_mat, loss_valid)
-                ]
-                evaluator.add_batch(
-                    cands,
-                    b["mult_references"],
-                    fnames=b.get("fname"),
-                    dataset=b["dataset"][0] if b.get("dataset") else "unknown",
-                    subset=b["subset"][0] if b.get("subset") else "test",
-                    lprobs=np.asarray(lprobs),
-                    preds=np.asarray(preds),
-                    mpreds=mp,
-                    mlprobs=np.asarray(mlprobs),
-                    mcands=mcands,
-                    losses=losses,
-                )
-        test_scores = evaluator.compute_and_export()
-        for corpus, scores in test_scores.items():
-            logger.log_metrics(
-                {f"test/{corpus}/{k}": v for k, v in scores.items()}
+
+        def run_test(model_name: str, params) -> dict[str, Any]:
+            evaluator = Evaluator(
+                run_dir,
+                model_name=model_name,
+                metrics=AllMetrics(
+                    tokenizer=make_metric_tokenizer(),
+                    train_vocab=list(tokenizer.get_vocab()),
+                ),
             )
+            for dl_idx in range(dm.num_eval_loaders("test")):
+                for j, b in enumerate(dm.eval_batches("test", dl_idx)):
+                    if lim_test is not None and j >= lim_test:
+                        break
+                    audio = jnp.asarray(b["audio"])
+                    lens = jnp.asarray(b["audio_lens"])
+                    bos = jnp.asarray(b["mult_captions"][:, 0, 0])
+                    preds, lprobs, mpreds, mlprobs = gen_fn_test(
+                        params, audio, lens, bos, forbid
+                    )
+                    cands = _decode_preds(
+                        tokenizer, model_cfg.eos_id, np.asarray(preds)
+                    )
+                    mp = np.asarray(mpreds)
+                    mcands = [
+                        _decode_preds(tokenizer, model_cfg.eos_id, mp[i])
+                        for i in range(mp.shape[0])
+                    ]
+                    # per-(clip, ref) forced losses — the reference's
+                    # `losses` CSV column (test_step, conette.py:293-350)
+                    loss_mat, loss_valid = test_losses_fn(
+                        params,
+                        {
+                            "audio": audio,
+                            "audio_lens": lens,
+                            "mult_captions": jnp.asarray(b["mult_captions"]),
+                        },
+                    )
+                    loss_mat = np.asarray(loss_mat)
+                    loss_valid = np.asarray(loss_valid)
+                    losses = [
+                        [float(x) for x, ok in zip(row, okr) if ok]
+                        for row, okr in zip(loss_mat, loss_valid)
+                    ]
+                    evaluator.add_batch(
+                        cands,
+                        b["mult_references"],
+                        fnames=b.get("fname"),
+                        dataset=b["dataset"][0] if b.get("dataset") else "unknown",
+                        subset=b["subset"][0] if b.get("subset") else "test",
+                        lprobs=np.asarray(lprobs),
+                        preds=np.asarray(preds),
+                        mpreds=mp,
+                        mlprobs=np.asarray(mlprobs),
+                        mcands=mcands,
+                        losses=losses,
+                    )
+            scores = evaluator.compute_and_export()
+            for corpus, corpus_scores in scores.items():
+                logger.log_metrics(
+                    {
+                        f"test/{model_name}/{corpus}/{k}": v
+                        for k, v in corpus_scores.items()
+                    }
+                )
+            return scores
+
+        # candidate weights per mode, processed in the reference's order
+        # (last → swa → best) so `best` wins the primary `test` result
+        candidates: list[tuple[str, Any]] = []
+        for mode in ("last", "swa", "best"):
+            if mode not in testing_run:
+                continue
+            if mode == "last":
+                candidates.append(("last", state.params))
+            elif mode == "swa":
+                if swa_params is None:
+                    pylog.warning(
+                        "testing.run includes 'swa' but no SWA snapshots "
+                        "were taken (trainer.swa_start unset or past "
+                        "max_epochs); skipping"
+                    )
+                else:
+                    candidates.append(("swa", swa_params))
+            else:  # best
+                if ckpt.best_dir is not None:
+                    from conette_tpu.train.checkpoint import load_checkpoint
+
+                    pylog.info(f"Testing with best checkpoint {ckpt.best_dir}")
+                    # "val/fense" -> "best_fense": the reference names the
+                    # evaluator after the monitor (train.py:332-338), which
+                    # prefixes the published CSVs' per-sentence columns
+                    candidates.append(
+                        (
+                            f"best_{monitor.rsplit('/', 1)[-1]}",
+                            load_checkpoint(ckpt.best_dir)["params"],
+                        )
+                    )
+                elif "last" not in testing_run:
+                    # reference train.py:346-353: fall back to last weights
+                    pylog.warning(
+                        "Cannot find best checkpoint; testing with last "
+                        "weights."
+                    )
+                    candidates.append(("last", state.params))
+                else:
+                    pylog.error("Cannot find best checkpoint.")
+
+        for model_name, params in candidates:
+            test_by_model[model_name] = run_test(model_name, params)
+        if test_by_model:
+            test_scores = next(reversed(test_by_model.values()))
 
     # ------------------------------------------------------- 6/6 artifacts
     if not is_main_process():
@@ -700,7 +754,12 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         f"Done: best {monitor}={ckpt.best_score} "
         f"({time.time() - t_start:.0f}s, run dir {run_dir})"
     )
-    return {"run_dir": run_dir, "best": ckpt.best_score, "test": test_scores}
+    return {
+        "run_dir": run_dir,
+        "best": ckpt.best_score,
+        "test": test_scores,
+        "test_by_model": test_by_model,
+    }
 
 
 def _set_injected_lr(opt_state, new_lr: float) -> None:

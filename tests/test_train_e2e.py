@@ -113,6 +113,71 @@ def test_main_train_smoke(hdf_dir, tmp_path):
     assert set(rows[0]) == {"audio", "task", "candidate"}
 
 
+def test_testing_run_modes(hdf_dir, tmp_path):
+    """testing.run=[last,swa,best] tests each weight set with its own
+    evaluator name (reference train.py:297-356): three output CSVs, and
+    out['test'] stays the best-model corpus scores."""
+    from conette_tpu.train.main import main_train
+
+    out = main_train(
+        [
+            "trainer=lim2",
+            "ckpts=loss",
+            f"dm.hdf_root={hdf_dir}",
+            "dm.train_hdfs=[clotho_dev_x.hdf]",
+            "dm.val_hdfs=[clotho_val_x.hdf]",
+            "dm.test_hdfs=[clotho_eval_x.hdf]",
+            "dm.bsize=3",
+            "pl.d_model=32",
+            "pl.nhead=2",
+            "pl.num_decoder_layers=2",
+            "pl.dim_feedforward=64",
+            "pl.max_pred_size=6",
+            "pl.min_pred_size=1",
+            "pl.beam_size=2",
+            "trainer.swa_start=0",
+            "testing.run=[last,swa,best]",
+            f"log_root={tmp_path}/logs",
+        ]
+    )
+    run_dir = out["run_dir"]
+    assert set(out["test_by_model"]) == {"last", "swa", "best_loss"}
+    corpus = next(iter(out["test"]))
+    for model_name in ("last", "swa", "best_loss"):
+        assert os.path.isfile(
+            os.path.join(run_dir, f"{model_name}_outputs_{corpus}.csv")
+        ), model_name
+        assert out["test_by_model"][model_name][corpus]
+    # primary result is the best model's
+    assert out["test"] == out["test_by_model"]["best_loss"]
+
+
+def test_testing_run_none_skips(hdf_dir, tmp_path):
+    from conette_tpu.train.main import main_train
+
+    out = main_train(
+        [
+            "trainer=lim2",
+            "ckpts=loss",
+            f"dm.hdf_root={hdf_dir}",
+            "dm.train_hdfs=[clotho_dev_x.hdf]",
+            "dm.val_hdfs=[clotho_val_x.hdf]",
+            "dm.test_hdfs=[clotho_eval_x.hdf]",
+            "dm.bsize=3",
+            "pl.d_model=32",
+            "pl.nhead=2",
+            "pl.num_decoder_layers=2",
+            "pl.dim_feedforward=64",
+            "pl.max_pred_size=6",
+            "pl.min_pred_size=1",
+            "pl.beam_size=2",
+            "testing.run=[none]",
+            f"log_root={tmp_path}/logs",
+        ]
+    )
+    assert out["test"] == {} and out["test_by_model"] == {}
+
+
 def test_config_composition():
     from conette_tpu.config import load_config
 
