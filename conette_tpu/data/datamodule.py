@@ -64,6 +64,7 @@ class HDFDataModule:
         train_fpaths: Sequence[str] = (),
         val_fpaths: Sequence[str] = (),
         test_fpaths: Sequence[str] = (),
+        predict_fpaths: Sequence[str] = (),
         *,
         bsize: int = 512,
         main_hdf_pattern: str | None = None,
@@ -116,6 +117,7 @@ class HDFDataModule:
         self.train_fpaths = list(train_fpaths)
         self.val_fpaths = list(val_fpaths)
         self.test_fpaths = list(test_fpaths)
+        self.predict_fpaths = list(predict_fpaths)
         self.bsize = bsize
         self.main_hdf_pattern = main_hdf_pattern
         self.balance_mode = balance_mode
@@ -138,6 +140,7 @@ class HDFDataModule:
         self._train: AACDatasetLike | None = None
         self._val: list[HDFDataset] = []
         self._test: list[HDFDataset] = []
+        self._predict: list[HDFDataset] = []
         self._samplers: list[WrapperSampler] = []
 
     # ------------------------------------------------------------- setup
@@ -296,6 +299,10 @@ class HDFDataModule:
 
     def setup_test(self) -> None:
         self._test = [HDFDataset(p) for p in self.test_fpaths]
+        # predict corpora: caption-less datasets to decode + export only
+        # (reference _setup_predict, hdf.py:419-457; e.g. clotho_test for
+        # the DCASE submission)
+        self._predict = [HDFDataset(p) for p in self.predict_fpaths]
 
     @property
     def train_dataset(self) -> AACDatasetLike:
@@ -337,15 +344,27 @@ class HDFDataModule:
 
     def _eval_item(self, ds: AACDatasetLike, idx: int, subset: str) -> dict[str, Any]:
         item = ds[idx]
-        refs = item["captions"] if isinstance(item["captions"], list) else [item["captions"]]
-        # eval maps OOV to <unk> explicitly like the reference's val/test
-        # transforms (hdf.py:339-349,386-396 pass default=unk_token)
-        encoded = self.tokenizer.encode_batch(
-            refs, add_bos_eos=True, padding="batch",
-            default=self.tokenizer.unk_token,
-        )
-        if isinstance(encoded, list):
-            encoded, _ = _stack_ragged(encoded)
+        raw = item.get("captions", [])
+        refs = raw if isinstance(raw, list) else [raw]
+        refs = [r for r in refs if r]
+        if refs:
+            # eval maps OOV to <unk> explicitly like the reference's
+            # val/test transforms (hdf.py:339-349,386-396 pass
+            # default=unk_token)
+            encoded = self.tokenizer.encode_batch(
+                refs, add_bos_eos=True, padding="batch",
+                default=self.tokenizer.unk_token,
+            )
+            if isinstance(encoded, list):
+                encoded, _ = _stack_ragged(encoded)
+        else:
+            # caption-less predict corpora (e.g. clotho_test): a single
+            # <bos><eos> row keeps the batch schema (BOS is rewritten to
+            # the task token by the batch post-processor)
+            encoded = np.asarray(
+                [[self.tokenizer.bos_token_id, self.tokenizer.eos_token_id]],
+                np.int32,
+            )
         audio = np.asarray(item["audio"], np.float32)
         return {
             "audio": audio,
@@ -431,7 +450,9 @@ class HDFDataModule:
     def eval_batches(
         self, split: str = "val", dl_idx: int = 0
     ) -> Iterator[dict[str, Any]]:
-        ds_list = self._val if split == "val" else self._test
+        ds_list = {
+            "val": self._val, "test": self._test, "predict": self._predict
+        }[split]
         ds = ds_list[dl_idx]
         collate = self._collate()
         for start in range(0, len(ds), self.bsize):
@@ -444,7 +465,13 @@ class HDFDataModule:
             yield self._postprocess(batch)
 
     def num_eval_loaders(self, split: str = "val") -> int:
-        return len(self._val if split == "val" else self._test)
+        return len(
+            {
+                "val": self._val,
+                "test": self._test,
+                "predict": self._predict,
+            }[split]
+        )
 
 
 def _stack_ragged(arrays: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:

@@ -97,12 +97,20 @@ class Evaluator:
         model_name: str = "model",
         metrics: AllMetrics | None = None,
         export_dcase: bool = True,
+        score: bool = True,
         seed: int = 1234,
     ) -> None:
+        """``score=False`` turns this into the reference's PREDICT-epoch
+        exporter (aac_evaluator.py:106-128): outputs CSVs are written with
+        no metric columns for every corpus — caption-less prediction
+        corpora (clotho_test DCASE submissions) have nothing to score."""
         self.out_dir = out_dir
         self.model_name = model_name
-        self.metrics = metrics or AllMetrics(use_java=True, use_fense=True)
+        self.metrics = metrics or (
+            AllMetrics(use_java=True, use_fense=True) if score else None
+        )
         self.export_dcase = export_dcase
+        self.score = score
         self._rng = random.Random(seed)
         os.makedirs(out_dir, exist_ok=True)
         self.reset()
@@ -169,7 +177,7 @@ class Evaluator:
             cands = [r["candidate"] for r in rows]
             mrefs = [r["references"] for r in rows]
 
-            if corpus_name not in self.SKIP_CORPORA:
+            if self.score and corpus_name not in self.SKIP_CORPORA:
                 corpus_scores, sent_scores = self.metrics(cands, mrefs)
                 all_scores[corpus_name] = corpus_scores
                 # one random qualitative example (aac_evaluator.py:407-464)

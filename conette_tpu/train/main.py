@@ -127,6 +127,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         train_fpaths=resolve(dm_cfg.get("train_hdfs", [])),
         val_fpaths=resolve(dm_cfg.get("val_hdfs", [])),
         test_fpaths=resolve(dm_cfg.get("test_hdfs", [])),
+        predict_fpaths=resolve(dm_cfg.get("predict_hdfs", [])),
         bsize=int(dm_cfg.get("bsize", 512)),
         main_hdf_pattern=dm_cfg.get("main_hdf_pattern"),
         balance_mode=dm_cfg.get("balance_mode", "none"),
@@ -685,6 +686,48 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
                         for k, v in corpus_scores.items()
                     }
                 )
+            # predict pass: decode-and-export only (the reference calls
+            # trainer.predict after every trainer.test, train.py:303-343;
+            # predict corpora like clotho_test have no references — the
+            # artifacts are the outputs CSV + DCASE submission CSV)
+            if dm.num_eval_loaders("predict") > 0:
+                pred_eval = Evaluator(
+                    run_dir, model_name=model_name, score=False
+                )
+                for dl_idx in range(dm.num_eval_loaders("predict")):
+                    for b in dm.eval_batches("predict", dl_idx):
+                        audio = jnp.asarray(b["audio"])
+                        lens = jnp.asarray(b["audio_lens"])
+                        bos = jnp.asarray(b["mult_captions"][:, 0, 0])
+                        preds, lprobs, mpreds, mlprobs = gen_fn_test(
+                            params, audio, lens, bos, forbid
+                        )
+                        cands = _decode_preds(
+                            tokenizer, model_cfg.eos_id, np.asarray(preds)
+                        )
+                        mp = np.asarray(mpreds)
+                        pred_eval.add_batch(
+                            cands,
+                            b["mult_references"],
+                            fnames=b.get("fname"),
+                            dataset=b["dataset"][0]
+                            if b.get("dataset")
+                            else "unknown",
+                            subset=b["subset"][0]
+                            if b.get("subset")
+                            else "predict",
+                            lprobs=np.asarray(lprobs),
+                            preds=np.asarray(preds),
+                            mpreds=mp,
+                            mlprobs=np.asarray(mlprobs),
+                            mcands=[
+                                _decode_preds(
+                                    tokenizer, model_cfg.eos_id, mp[i]
+                                )
+                                for i in range(mp.shape[0])
+                            ],
+                        )
+                pred_eval.compute_and_export()
             return scores
 
         # candidate weights per mode, processed in the reference's order

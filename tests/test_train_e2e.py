@@ -24,6 +24,26 @@ def hdf_dir(tmp_path_factory):
     ]:
         ds = DummyAACDataset(size=size, seed=seed, dataset_name=name, subset=subset)
         pack_to_hdf(ds, str(d / f"{name}_{subset}_x.hdf"))
+    # caption-less predict corpus (the reference's clotho_test DCASE pack)
+    from conette_tpu.data.datasets import DictDataset
+
+    rng = np.random.default_rng(9)
+    n = 5
+    pred = DictDataset(
+        {
+            "audio": [
+                rng.standard_normal((31, 768)).astype(np.float32)
+                for _ in range(n)
+            ],
+            "audio_lens": [31] * n,
+            "captions": [[] for _ in range(n)],
+            "dataset": ["clotho"] * n,
+            "subset": ["test"] * n,
+            "source": [None] * n,
+            "fname": [f"t{i}.wav" for i in range(n)],
+        }
+    )
+    pack_to_hdf(pred, str(d / "clotho_test_x.hdf"))
     return str(d)
 
 
@@ -38,6 +58,7 @@ def test_main_train_smoke(hdf_dir, tmp_path):
             "dm.train_hdfs=[clotho_dev_x.hdf]",
             "dm.val_hdfs=[clotho_val_x.hdf]",
             "dm.test_hdfs=[clotho_eval_x.hdf]",
+            "dm.predict_hdfs=[clotho_test_x.hdf]",
             "dm.bsize=3",
             "pl.d_model=32",
             "pl.nhead=2",
@@ -50,6 +71,20 @@ def test_main_train_smoke(hdf_dir, tmp_path):
         ]
     )
     run_dir = out["run_dir"]
+    # predict pass over the caption-less corpus (reference train.py:303-343
+    # runs trainer.predict after trainer.test): outputs CSV with no metric
+    # columns + DCASE submission CSV
+    pred_csv = os.path.join(run_dir, "best_loss_outputs_clotho_test.csv")
+    assert os.path.isfile(pred_csv)
+    import csv as csv_pred
+
+    with open(pred_csv, newline="") as f:
+        pred_rows = list(csv_pred.DictReader(f))
+    assert len(pred_rows) == 5
+    assert not any(".cands." in k for k in pred_rows[0])
+    assert os.path.isfile(
+        os.path.join(run_dir, "submission_output_best_loss_clotho_test.csv")
+    )
     # artifacts
     assert os.path.isfile(os.path.join(run_dir, "hparams.yaml"))
     assert os.path.isfile(os.path.join(run_dir, "metrics.yaml"))
