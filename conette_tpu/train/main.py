@@ -793,6 +793,15 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         }
     )
     logger.finalize()
+    # sweep output criterion (reference train.py:515-521): return the
+    # logged metric named by out_crit, or out_default when absent/unset
+    out_crit = cfg.get("out_crit")
+    out_default = float(cfg.get("out_default", -1.0))
+    if out_crit is not None:
+        out = float(logger.metrics.get(str(out_crit), out_default))
+        pylog.info(f"Training is finished with {out_crit}={out}.")
+    else:
+        out = out_default
     pylog.info(
         f"Done: best {monitor}={ckpt.best_score} "
         f"({time.time() - t_start:.0f}s, run dir {run_dir})"
@@ -802,6 +811,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         "best": ckpt.best_score,
         "test": test_scores,
         "test_by_model": test_by_model,
+        "out": out,
     }
 
 

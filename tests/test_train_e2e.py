@@ -71,6 +71,8 @@ def test_main_train_smoke(hdf_dir, tmp_path):
         ]
     )
     run_dir = out["run_dir"]
+    # out_crit unset -> out_default (reference train.py:515-521)
+    assert out["out"] == -1.0
     # predict pass over the caption-less corpus (reference train.py:303-343
     # runs trainer.predict after trainer.test): outputs CSV with no metric
     # columns + DCASE submission CSV
@@ -172,10 +174,13 @@ def test_testing_run_modes(hdf_dir, tmp_path):
             "pl.beam_size=2",
             "trainer.swa_start=0",
             "testing.run=[last,swa,best]",
+            "out_crit=fit_duration_s",
             f"log_root={tmp_path}/logs",
         ]
     )
     run_dir = out["run_dir"]
+    # out_crit resolves against the logged metrics (train.py:515-521)
+    assert out["out"] > 0
     assert set(out["test_by_model"]) == {"last", "swa", "best_loss"}
     corpus = next(iter(out["test"]))
     for model_name in ("last", "swa", "best_loss"):
