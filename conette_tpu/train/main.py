@@ -484,12 +484,141 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         metrics["val/loss"] = float(np.mean(val_losses)) if val_losses else 0.0
         return metrics
 
+    # test/predict machinery — shared by test_on_start (pre-fit) and the
+    # post-fit testing.run passes
+    from conette_tpu.metrics import AllMetrics
+    from conette_tpu.train.evaluation import make_metric_tokenizer
+    from conette_tpu.train.objective import per_ref_losses
+
+    test_losses_fn = jax.jit(
+        lambda p, batch: per_ref_losses(p, model_cfg, batch)
+    )
+
+    def run_test(model_name: str, params) -> dict[str, Any]:
+        evaluator = Evaluator(
+            run_dir,
+            model_name=model_name,
+            metrics=AllMetrics(
+                tokenizer=make_metric_tokenizer(),
+                train_vocab=list(tokenizer.get_vocab()),
+            ),
+        )
+        for dl_idx in range(dm.num_eval_loaders("test")):
+            for j, b in enumerate(dm.eval_batches("test", dl_idx)):
+                if lim_test is not None and j >= lim_test:
+                    break
+                audio = jnp.asarray(b["audio"])
+                lens = jnp.asarray(b["audio_lens"])
+                bos = jnp.asarray(b["mult_captions"][:, 0, 0])
+                preds, lprobs, mpreds, mlprobs = gen_fn_test(
+                    params, audio, lens, bos, forbid
+                )
+                cands = _decode_preds(
+                    tokenizer, model_cfg.eos_id, np.asarray(preds)
+                )
+                mp = np.asarray(mpreds)
+                mcands = [
+                    _decode_preds(tokenizer, model_cfg.eos_id, mp[i])
+                    for i in range(mp.shape[0])
+                ]
+                # per-(clip, ref) forced losses — the reference's
+                # `losses` CSV column (test_step, conette.py:293-350)
+                loss_mat, loss_valid = test_losses_fn(
+                    params,
+                    {
+                        "audio": audio,
+                        "audio_lens": lens,
+                        "mult_captions": jnp.asarray(b["mult_captions"]),
+                    },
+                )
+                loss_mat = np.asarray(loss_mat)
+                loss_valid = np.asarray(loss_valid)
+                losses = [
+                    [float(x) for x, ok in zip(row, okr) if ok]
+                    for row, okr in zip(loss_mat, loss_valid)
+                ]
+                evaluator.add_batch(
+                    cands,
+                    b["mult_references"],
+                    fnames=b.get("fname"),
+                    dataset=b["dataset"][0] if b.get("dataset") else "unknown",
+                    subset=b["subset"][0] if b.get("subset") else "test",
+                    lprobs=np.asarray(lprobs),
+                    preds=np.asarray(preds),
+                    mpreds=mp,
+                    mlprobs=np.asarray(mlprobs),
+                    mcands=mcands,
+                    losses=losses,
+                )
+        scores = evaluator.compute_and_export()
+        for corpus, corpus_scores in scores.items():
+            logger.log_metrics(
+                {
+                    f"test/{model_name}/{corpus}/{k}": v
+                    for k, v in corpus_scores.items()
+                }
+            )
+        # predict pass: decode-and-export only (the reference calls
+        # trainer.predict after every trainer.test, train.py:303-343;
+        # predict corpora like clotho_test have no references — the
+        # artifacts are the outputs CSV + DCASE submission CSV)
+        if dm.num_eval_loaders("predict") > 0:
+            pred_eval = Evaluator(
+                run_dir, model_name=model_name, score=False
+            )
+            for dl_idx in range(dm.num_eval_loaders("predict")):
+                for b in dm.eval_batches("predict", dl_idx):
+                    audio = jnp.asarray(b["audio"])
+                    lens = jnp.asarray(b["audio_lens"])
+                    bos = jnp.asarray(b["mult_captions"][:, 0, 0])
+                    preds, lprobs, mpreds, mlprobs = gen_fn_test(
+                        params, audio, lens, bos, forbid
+                    )
+                    cands = _decode_preds(
+                        tokenizer, model_cfg.eos_id, np.asarray(preds)
+                    )
+                    mp = np.asarray(mpreds)
+                    pred_eval.add_batch(
+                        cands,
+                        b["mult_references"],
+                        fnames=b.get("fname"),
+                        dataset=b["dataset"][0]
+                        if b.get("dataset")
+                        else "unknown",
+                        subset=b["subset"][0]
+                        if b.get("subset")
+                        else "predict",
+                        lprobs=np.asarray(lprobs),
+                        preds=np.asarray(preds),
+                        mpreds=mp,
+                        mlprobs=np.asarray(mlprobs),
+                        mcands=[
+                            _decode_preds(
+                                tokenizer, model_cfg.eos_id, mp[i]
+                            )
+                            for i in range(mp.shape[0])
+                        ],
+                    )
+            pred_eval.compute_and_export()
+        return scores
+
+
     # val_on_start (reference train.py:457-482: validate before fit, e.g.
     # after a warm-start resume)
     if cfg.get("val_on_start") and dm.num_eval_loaders("val") > 0:
         start_metrics = run_validation(-1)
         logger.log_metrics({f"start_{k}": v for k, v in start_metrics.items()})
         pylog.info(f"val_on_start: {start_metrics}")
+
+    # test_on_start (reference train.py:477-482): when warm-starting from
+    # a checkpoint, score the starting weights first (evaluator "start")
+    if (
+        cfg.get("test_on_start")
+        and cfg.get("resume")
+        and dm.num_eval_loaders("test") > 0
+        and is_main_process()
+    ):
+        run_test("start", state.params)
 
     # opt-in device tracing (reference conf/trainer/profiler group twin):
     # trainer=... trainer.profiler.name=jax writes a TensorBoard-loadable
@@ -614,122 +743,6 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         and is_main_process()
         and testing_run != ["none"]
     ):
-        from conette_tpu.metrics import AllMetrics
-        from conette_tpu.train.evaluation import make_metric_tokenizer
-        from conette_tpu.train.objective import per_ref_losses
-
-        test_losses_fn = jax.jit(
-            lambda p, batch: per_ref_losses(p, model_cfg, batch)
-        )
-
-        def run_test(model_name: str, params) -> dict[str, Any]:
-            evaluator = Evaluator(
-                run_dir,
-                model_name=model_name,
-                metrics=AllMetrics(
-                    tokenizer=make_metric_tokenizer(),
-                    train_vocab=list(tokenizer.get_vocab()),
-                ),
-            )
-            for dl_idx in range(dm.num_eval_loaders("test")):
-                for j, b in enumerate(dm.eval_batches("test", dl_idx)):
-                    if lim_test is not None and j >= lim_test:
-                        break
-                    audio = jnp.asarray(b["audio"])
-                    lens = jnp.asarray(b["audio_lens"])
-                    bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-                    preds, lprobs, mpreds, mlprobs = gen_fn_test(
-                        params, audio, lens, bos, forbid
-                    )
-                    cands = _decode_preds(
-                        tokenizer, model_cfg.eos_id, np.asarray(preds)
-                    )
-                    mp = np.asarray(mpreds)
-                    mcands = [
-                        _decode_preds(tokenizer, model_cfg.eos_id, mp[i])
-                        for i in range(mp.shape[0])
-                    ]
-                    # per-(clip, ref) forced losses — the reference's
-                    # `losses` CSV column (test_step, conette.py:293-350)
-                    loss_mat, loss_valid = test_losses_fn(
-                        params,
-                        {
-                            "audio": audio,
-                            "audio_lens": lens,
-                            "mult_captions": jnp.asarray(b["mult_captions"]),
-                        },
-                    )
-                    loss_mat = np.asarray(loss_mat)
-                    loss_valid = np.asarray(loss_valid)
-                    losses = [
-                        [float(x) for x, ok in zip(row, okr) if ok]
-                        for row, okr in zip(loss_mat, loss_valid)
-                    ]
-                    evaluator.add_batch(
-                        cands,
-                        b["mult_references"],
-                        fnames=b.get("fname"),
-                        dataset=b["dataset"][0] if b.get("dataset") else "unknown",
-                        subset=b["subset"][0] if b.get("subset") else "test",
-                        lprobs=np.asarray(lprobs),
-                        preds=np.asarray(preds),
-                        mpreds=mp,
-                        mlprobs=np.asarray(mlprobs),
-                        mcands=mcands,
-                        losses=losses,
-                    )
-            scores = evaluator.compute_and_export()
-            for corpus, corpus_scores in scores.items():
-                logger.log_metrics(
-                    {
-                        f"test/{model_name}/{corpus}/{k}": v
-                        for k, v in corpus_scores.items()
-                    }
-                )
-            # predict pass: decode-and-export only (the reference calls
-            # trainer.predict after every trainer.test, train.py:303-343;
-            # predict corpora like clotho_test have no references — the
-            # artifacts are the outputs CSV + DCASE submission CSV)
-            if dm.num_eval_loaders("predict") > 0:
-                pred_eval = Evaluator(
-                    run_dir, model_name=model_name, score=False
-                )
-                for dl_idx in range(dm.num_eval_loaders("predict")):
-                    for b in dm.eval_batches("predict", dl_idx):
-                        audio = jnp.asarray(b["audio"])
-                        lens = jnp.asarray(b["audio_lens"])
-                        bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-                        preds, lprobs, mpreds, mlprobs = gen_fn_test(
-                            params, audio, lens, bos, forbid
-                        )
-                        cands = _decode_preds(
-                            tokenizer, model_cfg.eos_id, np.asarray(preds)
-                        )
-                        mp = np.asarray(mpreds)
-                        pred_eval.add_batch(
-                            cands,
-                            b["mult_references"],
-                            fnames=b.get("fname"),
-                            dataset=b["dataset"][0]
-                            if b.get("dataset")
-                            else "unknown",
-                            subset=b["subset"][0]
-                            if b.get("subset")
-                            else "predict",
-                            lprobs=np.asarray(lprobs),
-                            preds=np.asarray(preds),
-                            mpreds=mp,
-                            mlprobs=np.asarray(mlprobs),
-                            mcands=[
-                                _decode_preds(
-                                    tokenizer, model_cfg.eos_id, mp[i]
-                                )
-                                for i in range(mp.shape[0])
-                            ],
-                        )
-                pred_eval.compute_and_export()
-            return scores
-
         # candidate weights per mode, processed in the reference's order
         # (last → swa → best) so `best` wins the primary `test` result
         candidates: list[tuple[str, Any]] = []

@@ -217,6 +217,40 @@ def test_testing_run_none_skips(hdf_dir, tmp_path):
     )
     assert out["test"] == {} and out["test_by_model"] == {}
 
+    # warm start from that run + test_on_start: the starting weights are
+    # scored with evaluator name "start" (reference train.py:477-482)
+    from conette_tpu.train.main import main_train as main_train2
+
+    resume_dir = os.path.join(out["run_dir"], "checkpoints", "best")
+    out2 = main_train2(
+        [
+            "trainer=lim2",
+            "ckpts=loss",
+            f"dm.hdf_root={hdf_dir}",
+            "dm.train_hdfs=[clotho_dev_x.hdf]",
+            "dm.val_hdfs=[clotho_val_x.hdf]",
+            "dm.test_hdfs=[clotho_eval_x.hdf]",
+            "dm.bsize=3",
+            "pl.d_model=32",
+            "pl.nhead=2",
+            "pl.num_decoder_layers=2",
+            "pl.dim_feedforward=64",
+            "pl.max_pred_size=6",
+            "pl.min_pred_size=1",
+            "pl.beam_size=2",
+            f"resume={resume_dir}",
+            "test_on_start=true",
+            "testing.run=[none]",
+            f"log_root={tmp_path}/logs2",
+        ]
+    )
+    start_csvs = [
+        f
+        for f in os.listdir(out2["run_dir"])
+        if f.startswith("start_outputs_")
+    ]
+    assert start_csvs, os.listdir(out2["run_dir"])
+
 
 def test_config_composition():
     from conette_tpu.config import load_config
