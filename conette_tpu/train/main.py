@@ -246,7 +246,34 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
 
         loaded = load_checkpoint(cfg["resume"], cfg.get("ign_weights"))
         flat = flatten_pytree(params)
-        flat.update(flatten_pytree(loaded["params"]))
+        loaded_flat = flatten_pytree(loaded["params"])
+        # strict_resume (reference train.py:175-177 passes strict to
+        # load_state_dict, default true): checkpoint keys must exactly
+        # cover the model unless ign_weights already filtered some out
+        if bool(cfg.get("strict_resume", True)) and not cfg.get("ign_weights"):
+            missing = sorted(set(flat) - set(loaded_flat))
+            unexpected = sorted(set(loaded_flat) - set(flat))
+            if missing or unexpected:
+                raise ValueError(
+                    f"strict resume mismatch: {len(missing)} missing "
+                    f"(e.g. {missing[:3]}), {len(unexpected)} unexpected "
+                    f"(e.g. {unexpected[:3]}); set strict_resume=false or "
+                    "ign_weights to load a partial checkpoint"
+                )
+        # shape mismatches error regardless of strictness (torch's
+        # load_state_dict reports size mismatches even with strict=False)
+        bad_shapes = [
+            k
+            for k in loaded_flat
+            if k in flat
+            and tuple(np.shape(flat[k])) != tuple(np.shape(loaded_flat[k]))
+        ]
+        if bad_shapes:
+            raise ValueError(
+                f"resume shape mismatch for {bad_shapes[:5]} "
+                f"(checkpoint vs model); use ign_weights to drop them"
+            )
+        flat.update({k: v for k, v in loaded_flat.items() if k in flat})
         params = unflatten_pytree(flat)
         if cfg.get("resume_opt_state", True) and not cfg.get("ign_weights"):
             resumed_opt_flat = loaded.get("opt_state_flat")

@@ -251,6 +251,32 @@ def test_testing_run_none_skips(hdf_dir, tmp_path):
     ]
     assert start_csvs, os.listdir(out2["run_dir"])
 
+    # strict_resume (reference train.py:175-177): resuming into a model
+    # with a different layer count raises unless strict_resume=false
+    mismatch_args = [
+        "trainer=lim2",
+        "ckpts=loss",
+        f"dm.hdf_root={hdf_dir}",
+        "dm.train_hdfs=[clotho_dev_x.hdf]",
+        "dm.val_hdfs=[clotho_val_x.hdf]",
+        "dm.test_hdfs=[]",
+        "dm.bsize=3",
+        "pl.d_model=32",
+        "pl.nhead=2",
+        "pl.num_decoder_layers=1",  # ckpt has 2
+        "pl.dim_feedforward=64",
+        "pl.max_pred_size=6",
+        "pl.min_pred_size=1",
+        "pl.beam_size=2",
+        f"resume={resume_dir}",
+        "testing.run=[none]",
+        f"log_root={tmp_path}/logs3",
+    ]
+    with pytest.raises(ValueError, match="strict resume mismatch"):
+        main_train2(mismatch_args)
+    out3 = main_train2(mismatch_args + ["strict_resume=false"])
+    assert out3["run_dir"]
+
 
 def test_config_composition():
     from conette_tpu.config import load_config
