@@ -68,11 +68,29 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     seed = int(cfg.get("seed", 1234))
     # auto-tag the run dir from CLI overrides (twin of the reference's
     # get_tag/get_subtag hydra resolvers, utils/hydra.py:47-126)
-    tag = "-".join(
-        a.replace("/", "_").replace("=", "_").replace("[", "").replace("]", "")
-        for a in argv
-        if not a.startswith(("log_root", "run_name", "dm.hdf_root"))
-    )[:80]
+    tagk = cfg.get("tagk") or []
+    if isinstance(tagk, str) and tagk != "auto":
+        tagk = [tagk]
+    if tagk and tagk != "auto":
+        # explicit tag keys (get_tag_fn, utils/hydra.py:89-112): tag is
+        # the joined values of the named config keys, NOTAG when empty
+        vals = [str(cfg.get(k, "")) for k in tagk]
+        tag = "-".join(v for v in vals if v) or "NOTAG"
+    else:
+        # auto subtag: derive from the CLI overrides (get_subtag_fn's
+        # sweep-override auto-detection, adapted to the flat CLI)
+        tag = "-".join(
+            a.replace("/", "_").replace("=", "_").replace("[", "").replace("]", "")
+            for a in argv
+            if not a.startswith(("log_root", "run_name", "dm.hdf_root"))
+        )[:80]
+    pretag = str(cfg.get("pretag", "") or "")
+    posttag = str(cfg.get("posttag", "") or "")
+    if pretag and not pretag.endswith("-"):
+        pretag += "-"
+    if posttag and not posttag.startswith("-"):
+        posttag = "-" + posttag
+    tag = f"{pretag}{tag}{posttag}" if tag or pretag or posttag else tag
     run_name = cfg.get("run_name") or (
         f"{cfg.get('job', 'train')}-"
         + datetime.datetime.now().strftime("%Y.%m.%d-%H.%M.%S")
