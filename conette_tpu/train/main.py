@@ -30,6 +30,46 @@ import numpy as np
 pylog = logging.getLogger(__name__)
 
 
+def _sanitize_tag(s: str) -> str:
+    return (
+        s.replace("/", "_").replace("=", "_")
+        .replace("[", "").replace("]", "").replace(" ", "")
+    )
+
+
+def run_tag(cfg: Any, argv: list[str]) -> str:
+    """Run-dir tag — twin of the reference's get_tag/get_subtag hydra
+    resolvers (utils/hydra.py:47-126): explicit ``tagk`` keys (possibly
+    dotted) join their config values (NOTAG when all empty); otherwise the
+    tag derives from the CLI overrides (the sweep-override auto-detection
+    of get_subtag_fn, adapted to the flat CLI); ``pretag``/``posttag``
+    affixes; sanitized and capped at 80 chars."""
+    tagk = cfg.get("tagk") or []
+    if isinstance(tagk, str) and tagk != "auto":
+        tagk = [tagk]
+    if tagk and tagk != "auto":
+        vals = [cfg.get_path(str(k)) for k in tagk]
+        tag = (
+            "-".join(
+                _sanitize_tag(str(v)) for v in vals if v not in (None, "")
+            )
+            or "NOTAG"
+        )
+    else:
+        tag = "-".join(
+            _sanitize_tag(a)
+            for a in argv
+            if not a.startswith(("log_root", "run_name", "dm.hdf_root"))
+        )
+    pretag = _sanitize_tag(str(cfg.get("pretag", "") or ""))
+    posttag = _sanitize_tag(str(cfg.get("posttag", "") or ""))
+    if pretag and not pretag.endswith("-"):
+        pretag += "-"
+    if posttag and not posttag.startswith("-"):
+        posttag = "-" + posttag
+    return f"{pretag}{tag}{posttag}"[:80]
+
+
 def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     argv = list(sys.argv[1:] if argv is None else argv)
 
@@ -66,31 +106,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         jax.config.update("jax_debug_nans", True)
 
     seed = int(cfg.get("seed", 1234))
-    # auto-tag the run dir from CLI overrides (twin of the reference's
-    # get_tag/get_subtag hydra resolvers, utils/hydra.py:47-126)
-    tagk = cfg.get("tagk") or []
-    if isinstance(tagk, str) and tagk != "auto":
-        tagk = [tagk]
-    if tagk and tagk != "auto":
-        # explicit tag keys (get_tag_fn, utils/hydra.py:89-112): tag is
-        # the joined values of the named config keys, NOTAG when empty
-        vals = [str(cfg.get(k, "")) for k in tagk]
-        tag = "-".join(v for v in vals if v) or "NOTAG"
-    else:
-        # auto subtag: derive from the CLI overrides (get_subtag_fn's
-        # sweep-override auto-detection, adapted to the flat CLI)
-        tag = "-".join(
-            a.replace("/", "_").replace("=", "_").replace("[", "").replace("]", "")
-            for a in argv
-            if not a.startswith(("log_root", "run_name", "dm.hdf_root"))
-        )[:80]
-    pretag = str(cfg.get("pretag", "") or "")
-    posttag = str(cfg.get("posttag", "") or "")
-    if pretag and not pretag.endswith("-"):
-        pretag += "-"
-    if posttag and not posttag.startswith("-"):
-        posttag = "-" + posttag
-    tag = f"{pretag}{tag}{posttag}" if tag or pretag or posttag else tag
+    tag = run_tag(cfg, argv)
     run_name = cfg.get("run_name") or (
         f"{cfg.get('job', 'train')}-"
         + datetime.datetime.now().strftime("%Y.%m.%d-%H.%M.%S")
@@ -538,111 +554,96 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     test_losses_fn = jax.jit(
         lambda p, batch: per_ref_losses(p, model_cfg, batch)
     )
+    # one AllMetrics per run (FENSE model load + Java setup are costly);
+    # every testing.run pass shares it
+    test_metrics: list[Any] = []
+
+    def _decode_and_score_batch(
+        evaluator: "Evaluator", params, b, default_subset: str,
+        with_losses: bool,
+    ) -> None:
+        audio = jnp.asarray(b["audio"])
+        lens = jnp.asarray(b["audio_lens"])
+        bos = jnp.asarray(b["mult_captions"][:, 0, 0])
+        preds, lprobs, mpreds, mlprobs = gen_fn_test(
+            params, audio, lens, bos, forbid
+        )
+        cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
+        mp = np.asarray(mpreds)
+        mcands = [
+            _decode_preds(tokenizer, model_cfg.eos_id, mp[i])
+            for i in range(mp.shape[0])
+        ]
+        losses = None
+        if with_losses:
+            # per-(clip, ref) forced losses — the reference's `losses`
+            # CSV column (test_step, conette.py:293-350)
+            loss_mat, loss_valid = test_losses_fn(
+                params,
+                {
+                    "audio": audio,
+                    "audio_lens": lens,
+                    "mult_captions": jnp.asarray(b["mult_captions"]),
+                },
+            )
+            losses = [
+                [float(x) for x, ok in zip(row, okr) if ok]
+                for row, okr in zip(
+                    np.asarray(loss_mat), np.asarray(loss_valid)
+                )
+            ]
+        evaluator.add_batch(
+            cands,
+            b["mult_references"],
+            fnames=b.get("fname"),
+            dataset=b["dataset"][0] if b.get("dataset") else "unknown",
+            subset=b["subset"][0] if b.get("subset") else default_subset,
+            lprobs=np.asarray(lprobs),
+            preds=np.asarray(preds),
+            mpreds=mp,
+            mlprobs=np.asarray(mlprobs),
+            mcands=mcands,
+            losses=losses,
+        )
 
     def run_test(model_name: str, params) -> dict[str, Any]:
-        evaluator = Evaluator(
-            run_dir,
-            model_name=model_name,
-            metrics=AllMetrics(
-                tokenizer=make_metric_tokenizer(),
-                train_vocab=list(tokenizer.get_vocab()),
-            ),
-        )
-        for dl_idx in range(dm.num_eval_loaders("test")):
-            for j, b in enumerate(dm.eval_batches("test", dl_idx)):
-                if lim_test is not None and j >= lim_test:
-                    break
-                audio = jnp.asarray(b["audio"])
-                lens = jnp.asarray(b["audio_lens"])
-                bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-                preds, lprobs, mpreds, mlprobs = gen_fn_test(
-                    params, audio, lens, bos, forbid
+        scores: dict[str, Any] = {}
+        if dm.num_eval_loaders("test") > 0:
+            if not test_metrics:
+                test_metrics.append(
+                    AllMetrics(
+                        tokenizer=make_metric_tokenizer(),
+                        train_vocab=list(tokenizer.get_vocab()),
+                    )
                 )
-                cands = _decode_preds(
-                    tokenizer, model_cfg.eos_id, np.asarray(preds)
-                )
-                mp = np.asarray(mpreds)
-                mcands = [
-                    _decode_preds(tokenizer, model_cfg.eos_id, mp[i])
-                    for i in range(mp.shape[0])
-                ]
-                # per-(clip, ref) forced losses — the reference's
-                # `losses` CSV column (test_step, conette.py:293-350)
-                loss_mat, loss_valid = test_losses_fn(
-                    params,
-                    {
-                        "audio": audio,
-                        "audio_lens": lens,
-                        "mult_captions": jnp.asarray(b["mult_captions"]),
-                    },
-                )
-                loss_mat = np.asarray(loss_mat)
-                loss_valid = np.asarray(loss_valid)
-                losses = [
-                    [float(x) for x, ok in zip(row, okr) if ok]
-                    for row, okr in zip(loss_mat, loss_valid)
-                ]
-                evaluator.add_batch(
-                    cands,
-                    b["mult_references"],
-                    fnames=b.get("fname"),
-                    dataset=b["dataset"][0] if b.get("dataset") else "unknown",
-                    subset=b["subset"][0] if b.get("subset") else "test",
-                    lprobs=np.asarray(lprobs),
-                    preds=np.asarray(preds),
-                    mpreds=mp,
-                    mlprobs=np.asarray(mlprobs),
-                    mcands=mcands,
-                    losses=losses,
-                )
-        scores = evaluator.compute_and_export()
-        for corpus, corpus_scores in scores.items():
-            logger.log_metrics(
-                {
-                    f"test/{model_name}/{corpus}/{k}": v
-                    for k, v in corpus_scores.items()
-                }
+            evaluator = Evaluator(
+                run_dir, model_name=model_name, metrics=test_metrics[0]
             )
+            for dl_idx in range(dm.num_eval_loaders("test")):
+                for j, b in enumerate(dm.eval_batches("test", dl_idx)):
+                    if lim_test is not None and j >= lim_test:
+                        break
+                    _decode_and_score_batch(
+                        evaluator, params, b, "test", with_losses=True
+                    )
+            scores = evaluator.compute_and_export()
+            for corpus, corpus_scores in scores.items():
+                logger.log_metrics(
+                    {
+                        f"test/{model_name}/{corpus}/{k}": v
+                        for k, v in corpus_scores.items()
+                    }
+                )
         # predict pass: decode-and-export only (the reference calls
         # trainer.predict after every trainer.test, train.py:303-343;
         # predict corpora like clotho_test have no references — the
         # artifacts are the outputs CSV + DCASE submission CSV)
         if dm.num_eval_loaders("predict") > 0:
-            pred_eval = Evaluator(
-                run_dir, model_name=model_name, score=False
-            )
+            pred_eval = Evaluator(run_dir, model_name=model_name, score=False)
             for dl_idx in range(dm.num_eval_loaders("predict")):
                 for b in dm.eval_batches("predict", dl_idx):
-                    audio = jnp.asarray(b["audio"])
-                    lens = jnp.asarray(b["audio_lens"])
-                    bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-                    preds, lprobs, mpreds, mlprobs = gen_fn_test(
-                        params, audio, lens, bos, forbid
-                    )
-                    cands = _decode_preds(
-                        tokenizer, model_cfg.eos_id, np.asarray(preds)
-                    )
-                    mp = np.asarray(mpreds)
-                    pred_eval.add_batch(
-                        cands,
-                        b["mult_references"],
-                        fnames=b.get("fname"),
-                        dataset=b["dataset"][0]
-                        if b.get("dataset")
-                        else "unknown",
-                        subset=b["subset"][0]
-                        if b.get("subset")
-                        else "predict",
-                        lprobs=np.asarray(lprobs),
-                        preds=np.asarray(preds),
-                        mpreds=mp,
-                        mlprobs=np.asarray(mlprobs),
-                        mcands=[
-                            _decode_preds(
-                                tokenizer, model_cfg.eos_id, mp[i]
-                            )
-                            for i in range(mp.shape[0])
-                        ],
+                    _decode_and_score_batch(
+                        pred_eval, params, b, "predict", with_losses=False
                     )
             pred_eval.compute_and_export()
         return scores
@@ -784,7 +785,10 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     testing_run = [str(m) for m in testing_run]
     if (
         cfg.get("test_after_fit", True)
-        and dm.num_eval_loaders("test") > 0
+        and (
+            dm.num_eval_loaders("test") > 0
+            or dm.num_eval_loaders("predict") > 0
+        )
         and is_main_process()
         and testing_run != ["none"]
     ):
@@ -833,10 +837,22 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             test_by_model[model_name] = run_test(model_name, params)
         if test_by_model:
             test_scores = next(reversed(test_by_model.values()))
+    elif dm.num_eval_loaders("predict") > 0 and is_main_process():
+        pylog.warning(
+            "dm.predict_hdfs is set but testing is disabled "
+            f"(test_after_fit={cfg.get('test_after_fit', True)}, "
+            f"testing.run={testing_run}); no predictions exported"
+        )
 
     # ------------------------------------------------------- 6/6 artifacts
     if not is_main_process():
-        return {"run_dir": run_dir, "best": None, "test": {}}
+        return {
+            "run_dir": run_dir,
+            "best": None,
+            "test": {},
+            "test_by_model": {},
+            "out": float(cfg.get("out_default", -1.0)),
+        }
     tokenizer.save_file(os.path.join(run_dir, "tokenizer.json"))
     _save_vocab_csv(tokenizer, os.path.join(run_dir, "vocab.csv"))
     logger.log_hyperparams(

@@ -169,7 +169,12 @@ def per_ref_losses(
             caps_in_pad_mask=caps_in == cfg.pad_id,
         )
         losses = per_caption_ce(logits, caps_out, cfg.pad_id)
-        nonempty = (caps != cfg.pad_id).any(axis=1)
+        # validity ignores column 0: the batch post-processor stamps the
+        # task token into EVERY ref row's first slot — including pad rows
+        # that only exist because items in the batch have fewer refs than
+        # the batch max — so [task_id, pad, ...] must NOT count as a
+        # caption (it would contribute a spurious 0.0 loss)
+        nonempty = (caps[:, 1:] != cfg.pad_id).any(axis=1)
         return losses, nonempty
 
     return jax.vmap(one_ref, in_axes=1, out_axes=1)(mult_caps)

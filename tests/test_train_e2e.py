@@ -278,6 +278,59 @@ def test_testing_run_none_skips(hdf_dir, tmp_path):
     assert out3["run_dir"]
 
 
+def test_run_tag():
+    """get_tag/get_subtag twin (reference utils/hydra.py:47-126): dotted
+    tagk keys resolve, values are sanitized, NOTAG when empty, affixes."""
+    from conette_tpu.config.loader import DotDict
+    from conette_tpu.train.main import run_tag
+
+    cfg = DotDict(
+        {"tagk": ["pl.lr", "ckpts.monitor"], "pretag": "", "posttag": "",
+         "pl": {"lr": 0.0005}, "ckpts": {"monitor": "val/fense"}}
+    )
+    assert run_tag(cfg, []) == "0.0005-val_fense"  # dotted + sanitized
+
+    cfg = DotDict({"tagk": ["missing.key"], "pretag": "a", "posttag": "b"})
+    assert run_tag(cfg, []) == "a-NOTAG-b"
+
+    cfg = DotDict({"tagk": []})
+    assert run_tag(cfg, ["pl.lr=0.001", "log_root=/x"]) == "pl.lr_0.001"
+
+
+@pytest.mark.slow
+def test_predict_only_run(hdf_dir, tmp_path):
+    """dm.predict_hdfs with NO test corpora still exports predictions
+    (the gate covers predict-only configurations)."""
+    from conette_tpu.train.main import main_train
+
+    out = main_train(
+        [
+            "trainer=lim2",
+            "ckpts=loss",
+            f"dm.hdf_root={hdf_dir}",
+            "dm.train_hdfs=[clotho_dev_x.hdf]",
+            "dm.val_hdfs=[clotho_val_x.hdf]",
+            "dm.test_hdfs=[]",
+            "dm.predict_hdfs=[clotho_test_x.hdf]",
+            "dm.bsize=3",
+            "pl.d_model=32",
+            "pl.nhead=2",
+            "pl.num_decoder_layers=2",
+            "pl.dim_feedforward=64",
+            "pl.max_pred_size=6",
+            "pl.min_pred_size=1",
+            "pl.beam_size=2",
+            f"log_root={tmp_path}/logs",
+        ]
+    )
+    assert out["test"] == {}
+    assert os.path.isfile(
+        os.path.join(
+            out["run_dir"], "best_loss_outputs_clotho_test.csv"
+        )
+    )
+
+
 def test_config_composition():
     from conette_tpu.config import load_config
 

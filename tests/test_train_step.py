@@ -128,6 +128,32 @@ class TestTrainStep:
         loss = float(validation_loss(params, CFG, batch))
         assert np.isfinite(loss)
 
+    def test_per_ref_losses_ignores_task_stamped_pad_rows(self):
+        """A ref row that exists only as batch padding gets the task token
+        stamped into column 0 by the batch post-processor — it must not
+        count as a valid caption (it would contribute a spurious 0.0 to
+        val/loss and the test CSV losses column)."""
+        from conette_tpu.train.objective import per_ref_losses
+
+        params = conette_init(jax.random.PRNGKey(0), CFG)
+        rng = np.random.default_rng(3)
+        mult = rng.integers(3, 32, size=(2, 3, 8)).astype(np.int32)
+        # example 1 has only 1 real ref; rows 1-2 are pad except the
+        # stamped task token in column 0
+        mult[1, 1:, :] = 0
+        mult[:, :, 0] = 5  # task token stamped into EVERY row
+        batch = {
+            "audio": jnp.asarray(
+                rng.standard_normal((2, 6, 768)).astype(np.float32)
+            ),
+            "audio_lens": jnp.asarray([6, 6], jnp.int32),
+            "mult_captions": jnp.asarray(mult),
+        }
+        _, valid = per_ref_losses(params, CFG, batch)
+        valid = np.asarray(valid)
+        assert valid[0].all()
+        assert valid[1, 0] and not valid[1, 1] and not valid[1, 2]
+
 
 class TestOptim:
     def test_decay_mask_excludes_1d(self):
