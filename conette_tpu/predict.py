@@ -103,4 +103,6 @@ def main_predict(argv: Optional[list[str]] = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main_predict())
+    from conette_tpu.utils.misc import hard_exit
+
+    hard_exit(main_predict())

@@ -506,4 +506,6 @@ def main_prepare(argv: Optional[list[str]] = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main_prepare())
+    from conette_tpu.utils.misc import hard_exit
+
+    hard_exit(main_prepare())

@@ -967,4 +967,7 @@ def _save_vocab_csv(tokenizer, fpath: str) -> None:
 
 
 if __name__ == "__main__":
+    from conette_tpu.utils.misc import hard_exit
+
     main_train()
+    hard_exit(0)

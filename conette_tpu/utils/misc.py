@@ -83,3 +83,20 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception as err:  # never make caching a hard failure
         pylog.debug(f"compilation cache unavailable: {err}")
+
+
+def hard_exit(rc: int) -> None:
+    """Flush stdio and ``os._exit`` — for CLI ``__main__`` blocks only.
+
+    Remote/tunneled PJRT backends (the axon plugin on this host) can hang
+    forever in client teardown during interpreter shutdown, leaving a CLI
+    that finished its work (output printed, CSV written) wedged until the
+    user kills it. Skipping interpreter shutdown after a completed run is
+    safe: all artifacts are written with explicit flush/close before the
+    mains return. Library callers must NOT use this — only the
+    ``if __name__ == "__main__"`` entry points."""
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    os._exit(rc)
