@@ -42,7 +42,11 @@ _WORKER = textwrap.dedent(
     jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, os.environ["REPO_ROOT"])
 
+    import json as _json
+
     from conette_tpu.train.main import main_train
+
+    _extra = _json.loads(os.environ.get("EXTRA_ARGS", "[]"))
 
     out = main_train([
         "trainer=fit_test",
@@ -66,7 +70,7 @@ _WORKER = textwrap.dedent(
         # with shape-identical collation the RNG draws are value-identical
         # across process topologies (threefry is deterministic per shape)
         "log_root=" + os.environ["LOG_ROOT"],
-    ])
+    ] + _extra)
     print("RUN_DIR::" + out["run_dir"])
     """
 )
@@ -81,6 +85,7 @@ def hdf_dir(tmp_path_factory):
     for name, subset, size, seed in [
         ("clotho", "dev", 16, 0),
         ("clotho", "val", 6, 1),
+        ("wavcaps", "full", 24, 2),
     ]:
         ds = DummyAACDataset(size=size, seed=seed, dataset_name=name, subset=subset)
         pack_to_hdf(ds, str(d / f"{name}_{subset}_x.hdf"))
@@ -187,3 +192,58 @@ def test_two_process_fit_equals_single_process(hdf_dir, tmp_path):
     assert not os.path.isfile(
         os.path.join(dir_b1, "checkpoints", "best", "params.npz")
     )
+
+
+def test_two_process_fit_equality_with_balancing(hdf_dir, tmp_path):
+    """Same equality property under the production balancing path:
+    main_hdf_min pools the added wavcaps pack behind ONE seeded sampler
+    and reload_dataloaders_every_n_epochs=1 re-draws it per epoch — the
+    draws are a pure function of (seed, epoch), so every process composes
+    the identical epoch dataset."""
+    import json as json_mod
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    extra = json_mod.dumps([
+        "dm.train_hdfs=[clotho_dev_x.hdf, wavcaps_full_x.hdf]",
+        "dm.main_hdf_min=clotho_dev_x.hdf",
+        "trainer.reload_dataloaders_every_n_epochs=1",
+    ])
+
+    env_a = _base_env(hdf_dir, tmp_path / "logs_a", n_dev=8, bsize=8)
+    env_a["EXTRA_ARGS"] = extra
+    proc = subprocess.run(
+        [sys.executable, str(script)], env=env_a,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"run A failed:\n{proc.stdout}\n{proc.stderr}"
+    dir_a = _run_dir(proc.stdout)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        env = _base_env(hdf_dir, tmp_path / f"logs_b{pid}", n_dev=4, bsize=4)
+        env["EXTRA_ARGS"] = extra
+        env.update(
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\nstdout:{out}\nstderr:{err}"
+    dir_b0 = _run_dir(outs[0][0])
+
+    la, lb = _train_losses(dir_a), _train_losses(dir_b0)
+    # balanced epoch = 16 main + 16 sampled = 32 rows -> 4 global batches
+    # per epoch x 2 epochs
+    assert len(la) == len(lb) == 8, (la, lb)
+    np.testing.assert_allclose(lb, la, rtol=0, atol=1e-5)
