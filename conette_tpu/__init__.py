@@ -38,11 +38,51 @@ def get_sample_path() -> str:
     return str(fpath)
 
 
-def conette(pretrained_model_name_or_path: str = DEFAULT_MODEL_NAME, **kwargs):
-    """Build a pretrained ``CoNeTTEModel`` (mirrors ``conette.conette()``)."""
+def conette(
+    pretrained_model_name_or_path: str | None = DEFAULT_MODEL_NAME,
+    config_kwds: dict | None = None,
+    model_kwds: dict | None = None,
+    **kwargs,
+):
+    """Build a ``CoNeTTEModel`` (mirrors ``conette.conette()``,
+    reference ``__init__.py:25-49``): pretrained when a name/path is
+    given, a fresh randomly-initialized model when ``None``."""
+    from conette_tpu.huggingface.config import CoNeTTEConfig
     from conette_tpu.huggingface.model import CoNeTTEModel
 
-    return CoNeTTEModel.from_pretrained(pretrained_model_name_or_path, **kwargs)
+    config_kwds = config_kwds or {}
+    model_kwds = dict(model_kwds or {}) | kwargs
+    if pretrained_model_name_or_path is None:
+        return CoNeTTEModel(CoNeTTEConfig(**config_kwds), **model_kwds)
+    if config_kwds:
+        config = CoNeTTEConfig.from_pretrained(
+            pretrained_model_name_or_path, **config_kwds
+        )
+        model_kwds = {"config": config} | model_kwds
+    return CoNeTTEModel.from_pretrained(
+        pretrained_model_name_or_path, **model_kwds
+    )
 
 
-__all__ = ["DEFAULT_MODEL_NAME", "conette", "get_sample_path", "__version__"]
+# lazy top-level re-exports (reference __init__.py:19-20 exposes the HF
+# classes at package root) — PEP 562 keeps `import conette_tpu` free of
+# the jax import cost until a model class is actually touched
+def __getattr__(name: str):
+    if name in ("CoNeTTEConfig", "CoNeTTEModel"):
+        import importlib
+
+        mod = importlib.import_module(
+            f"conette_tpu.huggingface.{'config' if name == 'CoNeTTEConfig' else 'model'}"
+        )
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "DEFAULT_MODEL_NAME",
+    "CoNeTTEConfig",
+    "CoNeTTEModel",
+    "conette",
+    "get_sample_path",
+    "__version__",
+]
