@@ -138,6 +138,11 @@ class CoNeTTEModel:
 
     # ------------------------------------------------------------- plumbing
     @property
+    def tasks(self) -> list[str]:
+        """Valid task names (reference ``model.py:114-115``)."""
+        return list(self.config.task_names)
+
+    @property
     def encoder_params(self) -> Any:
         return self.preprocessor.params
 
