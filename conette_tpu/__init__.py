@@ -16,7 +16,7 @@ Public API mirrors the reference package facade
 
 from pathlib import Path
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 DEFAULT_MODEL_NAME = "Labbeti/conette"
 
