@@ -113,17 +113,22 @@ def export_caption_program(
     batch_size: int,
     clip_seconds: float,
     sample_rate: int = 32_000,
+    platforms: Sequence[str] | None = None,
     **decode_kwargs: Any,
 ) -> tuple[bytes, dict[str, Any]]:
     """Serialize the caption pipeline at one (batch, clip-length) bucket.
-    Returns ``(artifact_bytes, meta)``."""
+    Returns ``(artifact_bytes, meta)``. ``platforms`` (e.g.
+    ``["tpu", "cpu"]``) makes a cross-platform artifact — by default the
+    module is lowered for the exporting host's backend only. Note: the
+    fused Pallas encoder path is platform-specific; export the ``float32``
+    XLA path (the default model dtype) for cross-platform artifacts."""
     import jax
     from jax import export as jexport
     import jax.numpy as jnp
 
     fn, decode_meta = build_caption_fn(model, **decode_kwargs)
     n_samples = int(round(clip_seconds * sample_rate))
-    exp = jexport.export(jax.jit(fn))(
+    exp = jexport.export(jax.jit(fn), platforms=platforms)(
         jax.ShapeDtypeStruct((batch_size, n_samples), jnp.float32),
         jax.ShapeDtypeStruct((batch_size,), jnp.int32),
         jax.ShapeDtypeStruct((batch_size,), jnp.int32),
@@ -148,11 +153,13 @@ def save_exported(
     batch_size: int = 32,
     clip_seconds: float = 10.0,
     sample_rate: int = 32_000,
+    platforms: Sequence[str] | None = None,
     **decode_kwargs: Any,
 ) -> str:
     os.makedirs(out_dir, exist_ok=True)
     data, meta = export_caption_program(
-        model, batch_size, clip_seconds, sample_rate, **decode_kwargs
+        model, batch_size, clip_seconds, sample_rate,
+        platforms=platforms, **decode_kwargs
     )
     with open(os.path.join(out_dir, ARTIFACT_NAME), "wb") as f:
         f.write(data)
