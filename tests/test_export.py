@@ -66,6 +66,27 @@ def test_exported_task_conditioning(model, art_dir):
         cap([np.zeros(16_000, np.float32)] * 4)
 
 
+@pytest.mark.slow
+def test_cross_platform_tpu_cpu_export(model):
+    """platforms=['tpu','cpu'] lowers for BOTH backends on a CPU-only
+    host (no TPU needed at export time) and still replays on cpu."""
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from conette_tpu.export import export_caption_program
+
+    data, meta = export_caption_program(
+        model, 2, 1.0, platforms=["tpu", "cpu"]
+    )
+    back = jexport.deserialize(data)
+    out = back.call(
+        jnp.zeros((2, meta["n_samples"]), jnp.float32),
+        jnp.full((2,), meta["n_samples"], jnp.int32),
+        jnp.full((2,), 1, jnp.int32),
+    )
+    assert np.asarray(out[0]).shape == (2, meta["max_pred_size"])
+
+
 def test_exported_default_task_and_crop(model, art_dir):
     from conette_tpu.export import ExportedCaptioner
 
