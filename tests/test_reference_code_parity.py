@@ -246,3 +246,71 @@ def test_teacher_forcing_matches_reference_code(ref, twin, seed):
     nonpad = caps != PAD  # (B, L): torch NaN-guards PAD-query rows
     diff = np.abs(jlog - ref_logits).max(axis=1)  # (B, L)
     assert diff[nonpad].max() < 2e-4
+
+
+# ----------------------------------------------------------------------
+# shape generalization: a SECOND decoder geometry (wider model, odd head
+# count, 3 layers, bigger vocab) through the same reference-code oracle —
+# guards against constants accidentally tuned to the primary 32/32/2/2
+# fixture geometry.
+# ----------------------------------------------------------------------
+VOCAB2, D2, NHEAD2, LAYERS2, FF2 = 50, 48, 3, 3, 96
+CFG2 = DecoderConfig(
+    vocab_size=VOCAB2, d_model=D2, nhead=NHEAD2, num_layers=LAYERS2,
+    dim_feedforward=FF2, dropout_p=0.0, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+)
+
+
+@pytest.fixture(scope="module")
+def twin2(ref):
+    torch.manual_seed(77)
+    dec = ref.AACTransformerDecoder(
+        vocab_size=VOCAB2, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+        d_model=D2, dim_feedforward=FF2, dropout=0.0,
+        nhead=NHEAD2, num_decoder_layers=LAYERS2,
+    ).eval()
+    state = {
+        "model.decoder." + k: v.detach().cpu().numpy()
+        for k, v in dec.state_dict().items()
+    }
+    state["model.projection.2.weight"] = np.eye(D2, dtype=np.float32)
+    state["model.projection.2.bias"] = np.zeros(D2, np.float32)
+    jparams = jax.tree.map(jnp.asarray, convert_conette(state)["decoder"])
+    return dec, jparams
+
+
+@pytest.mark.parametrize("beam,seed", [(1, 10), (3, 11)])
+def test_beam_matches_reference_code_alt_geometry(ref, twin2, beam, seed):
+    dec, jparams = twin2
+    rng = np.random.default_rng(seed)
+    bsize, t_mem = 3, 9
+    memory = rng.standard_normal((bsize, t_mem, D2)).astype(np.float32) * 0.6
+    lens = rng.integers(4, t_mem + 1, size=bsize)
+    lens[0] = t_mem
+    mem_pad = np.arange(t_mem)[None, :] >= lens[:, None]
+    memory[mem_pad] = 0.0
+    forbid = np.zeros(VOCAB2, bool)
+    forbid[10:30] = True
+    bos_ids = np.array([BOS, 7, 12], np.int64)
+
+    with torch.no_grad():
+        rb, rb_avg, _, _ = ref.generate(
+            decoder=dec, pad_id=PAD, bos_id=torch.from_numpy(bos_ids),
+            eos_id=EOS, vocab_size=VOCAB2,
+            frame_embs=_ref_layout(memory),
+            frame_embs_pad_mask=torch.from_numpy(mem_pad),
+            beam_size=beam, min_pred_size=2, max_pred_size=11,
+            forbid_rep_mask=torch.from_numpy(forbid),
+        )
+    out = beam_search(
+        jparams, CFG2, jnp.asarray(memory), jnp.asarray(mem_pad),
+        jnp.asarray(bos_ids, dtype=jnp.int32),
+        beam_size=beam, min_pred_size=2, max_pred_size=11,
+        forbid_rep_mask=jnp.asarray(forbid),
+    )
+    best = np.asarray(out.best_preds)
+    for b in range(bsize):
+        assert _strip(best[b]) == _strip(rb.numpy()[b])
+    np.testing.assert_allclose(
+        np.asarray(out.best_avg_lprobs), rb_avg.numpy(), atol=1e-4, rtol=1e-4
+    )
