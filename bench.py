@@ -296,9 +296,6 @@ def _hard_exit(rc: int) -> None:
 
 
 def main() -> int:
-    if not _probe_device():
-        print("bench aborted: TPU tunnel not answering", file=sys.stderr)
-        return 1
     if os.path.isfile(CACHE_FILE):
         with open(CACHE_FILE) as f:
             cpu_cps = json.load(f)["clips_per_sec"]
@@ -416,9 +413,11 @@ def sweep() -> int:
 
 
 if __name__ == "__main__":
-    if "--profile" in sys.argv or "--sweep" in sys.argv:
-        if not _probe_device():
-            print("bench aborted: TPU tunnel not answering", file=sys.stderr)
-            _hard_exit(1)
-        _hard_exit(profile() if "--profile" in sys.argv else sweep())
+    if not _probe_device():
+        print("bench aborted: TPU tunnel not answering", file=sys.stderr)
+        _hard_exit(1)
+    if "--profile" in sys.argv:
+        _hard_exit(profile())
+    if "--sweep" in sys.argv:
+        _hard_exit(sweep())
     _hard_exit(main())

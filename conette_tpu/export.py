@@ -210,13 +210,12 @@ class ExportedCaptioner:
 
         batch = np.zeros((b, s), np.float32)
         lens = np.zeros((b,), np.int32)
+        bos = np.full((b,), bos_map[tasks[0]], np.int32)
         for i, w in enumerate(wav_list):
             n = min(len(w), s)
             batch[i, :n] = w[:n]
             lens[i] = n
-        bos = np.full((b,), self.meta["task_bos_ids"][tasks[0]], np.int32)
-        for i, t in enumerate(tasks):
-            bos[i] = bos_map[t]
+            bos[i] = bos_map[tasks[i]]
 
         preds, _, _, _, _ = self._exp.call(
             jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(bos)

@@ -173,7 +173,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         # the dataloader (trainer.reload_dataloaders_every_n_epochs; the
         # camw_* balancing recipes set 1, default 0 keeps the first draw)
         reload_every_n_epochs=int(
-            cfg.get("trainer", {}).get("reload_dataloaders_every_n_epochs", 0)
+            cfg.get_path("trainer.reload_dataloaders_every_n_epochs", 0) or 0
         ),
         caption_quantum=int(dm_cfg.get("caption_quantum", 4)),
         caption_max_len=int(dm_cfg.get("caption_max_len", 64)),
