@@ -241,7 +241,11 @@ def bench_cpu_torch() -> float:
     return n / dt
 
 
-def _probe_device(attempts: int = 5, timeout_s: int = 60, backoff_s: int = 30) -> bool:
+def _probe_device(
+    attempts: int = int(os.environ.get("CONETTE_BENCH_PROBE_ATTEMPTS", 5)),
+    timeout_s: int = int(os.environ.get("CONETTE_BENCH_PROBE_TIMEOUT", 60)),
+    backoff_s: int = int(os.environ.get("CONETTE_BENCH_PROBE_BACKOFF", 30)),
+) -> bool:
     """The tunneled chip intermittently stalls WHOLE dispatches (observed:
     even an 8x8 sum never returns, for minutes at a stretch). A hung PJRT
     call cannot be cancelled in-process, so probe in a SUBPROCESS that can
