@@ -107,10 +107,17 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
 
     seed = int(cfg.get("seed", 1234))
     tag = run_tag(cfg, argv)
+    # multi-host: every process must derive the SAME run name (shared-FS
+    # artifact/ckpt dirs), but wall clocks can tick between process
+    # starts — broadcast process 0's timestamp
+    now = time.time()
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        now = float(multihost_utils.broadcast_one_to_all(np.float64(now)))
+    stamp = datetime.datetime.fromtimestamp(now).strftime("%Y.%m.%d-%H.%M.%S")
     run_name = cfg.get("run_name") or (
-        f"{cfg.get('job', 'train')}-"
-        + datetime.datetime.now().strftime("%Y.%m.%d-%H.%M.%S")
-        + (f"-{tag}" if tag else "")
+        f"{cfg.get('job', 'train')}-" + stamp + (f"-{tag}" if tag else "")
     )
     run_dir = os.path.join(cfg.get("log_root", "logs"), run_name)
     os.makedirs(run_dir, exist_ok=True)
