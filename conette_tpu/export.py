@@ -43,7 +43,11 @@ def build_caption_fn(model: Any, beam_size: int | None = None,
     import jax
     import jax.numpy as jnp
 
-    from conette_tpu.models.conette import encode_audio, forward_generate
+    from conette_tpu.models.conette import (
+        encode_audio,
+        forward_generate,
+        forward_greedy,
+    )
     from conette_tpu.models.convnext import convnext_apply
 
     cfg = model.model_cfg
@@ -72,6 +76,25 @@ def build_caption_fn(model: Any, beam_size: int | None = None,
         memory, pad_mask = encode_audio(
             dec_params, cfg, audio, outs["frame_embs_lens"]
         )
+        if beam <= 1:
+            # greedy fast path, same as the live model's _generate_fn
+            g = forward_greedy(
+                dec_params, cfg, memory, pad_mask, bos_ids,
+                min_pred_size=min_p, max_pred_size=max_p,
+                forbid_rep_mask=forbid,
+            )
+            lp = jax.nn.log_softmax(
+                jnp.transpose(g.logits, (0, 2, 1)), axis=-1
+            )
+            sel = jnp.take_along_axis(lp, g.preds[..., None], axis=-1)[..., 0]
+            valid = g.preds != cfg.pad_id
+            avg = jnp.sum(jnp.where(valid, sel, 0.0), axis=1) / jnp.maximum(
+                valid.sum(axis=1), 1
+            )
+            return (
+                g.preds, avg, g.preds[:, None, :], avg[:, None],
+                outs["clipwise_output"],
+            )
         res = forward_generate(
             dec_params, cfg, memory, pad_mask, bos_ids,
             beam_size=beam, min_pred_size=min_p, max_pred_size=max_p,

@@ -87,6 +87,21 @@ def test_cross_platform_tpu_cpu_export(model):
     assert np.asarray(out[0]).shape == (2, meta["max_pred_size"])
 
 
+def test_greedy_export_matches_live_model(model, tmp_path):
+    """beam_size=1 exports through the greedy fast path and still matches
+    the live model (which uses the same fast path)."""
+    from conette_tpu.export import ExportedCaptioner, save_exported
+
+    d = str(tmp_path / "greedy")
+    save_exported(model, d, batch_size=2, clip_seconds=1.0, beam_size=1)
+    cap = ExportedCaptioner(d)
+    rng = np.random.default_rng(2)
+    wavs = [rng.standard_normal(32_000).astype(np.float32) * 0.1]
+    got = cap(wavs, task="clotho")
+    live = model(wavs, sr=32_000, task="clotho", beam_size=1)
+    assert got == live["cands"]
+
+
 def test_exported_default_task_and_crop(model, art_dir):
     from conette_tpu.export import ExportedCaptioner
 
