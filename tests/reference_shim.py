@@ -684,7 +684,10 @@ def _install_lrscheduler_compat() -> None:
     ``_LRScheduler`` that swallows it BEFORE any reference import that can
     reach the optim chain — the vendored class binds the base at class
     *definition* time, so patching after ``conette.optim`` is imported is
-    too late."""
+    too late. Installed at shim import (below): MANY loaders reach the
+    optim chain transitively (load_reference_hf → huggingface.model →
+    pl_modules → optim), and whichever runs first poisons the module
+    cache for the whole pytest session otherwise."""
     import torch.optim.lr_scheduler as _lrs
 
     if "verbose" not in _lrs._LRScheduler.__init__.__code__.co_varnames:
@@ -694,6 +697,9 @@ def _install_lrscheduler_compat() -> None:
                 super().__init__(optimizer, last_epoch)
 
         _lrs._LRScheduler = _CompatLRScheduler
+
+
+_install_lrscheduler_compat()
 
 
 def load_reference_plm() -> SimpleNamespace:
