@@ -53,7 +53,7 @@ def main() -> int:
 
     cfg = ConetteConfig(vocab_size=args.vocab)
     params = conette_init(jax.random.PRNGKey(0), cfg)
-    tx, _ = get_optimizer(params, sched_n_steps=400)
+    tx, _ = get_optimizer(params, sched_n_steps=100)
     state = init_train_state(params, tx)
 
     rng_np = np.random.default_rng(0)
@@ -104,8 +104,8 @@ def main() -> int:
                 "batch": args.batch,
                 "loss": round(last, 4),
                 "projected_epoch_s": round(epoch_clips / samples_s, 1),
-                "projected_400_epochs_h": round(
-                    400 * epoch_clips / samples_s / 3600, 2
+                "projected_100_epochs_h": round(
+                    100 * epoch_clips / samples_s / 3600, 2
                 ),
             }
         )
