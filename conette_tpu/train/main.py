@@ -345,6 +345,14 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     grad_clip = tr_cfg.get("grad_clip_norm")
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
+    # gradient accumulation (reference trainer.accumulate_grad_batches,
+    # PL semantics): parameters update every k micro-batches on the
+    # averaged gradients. optax.MultiSteps keeps the step count in terms
+    # of optimizer updates, so schedules/momentum see k micro-batches as
+    # one step, like Lightning.
+    accum = int(tr_cfg.get("accumulate_grad_batches", 1) or 1)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     state = init_train_state(params, tx)
     if resumed_opt_flat is not None:
         from conette_tpu.train.checkpoint import restore_opt_state

@@ -209,3 +209,43 @@ class TestMultichip:
         np.testing.assert_allclose(
             float(m1["train/loss"]), float(m2["train/loss"]), rtol=1e-5
         )
+
+
+class TestGradAccumulation:
+    def test_multisteps_updates_every_k(self):
+        """accumulate_grad_batches semantics (optax.MultiSteps): params
+        move only every k micro-batches, and the k-step update equals one
+        step on the averaged gradients."""
+        import optax
+
+        k = 2
+        inner = optax.sgd(0.1)
+        tx = optax.MultiSteps(inner, every_k_schedule=k)
+        params = conette_init(jax.random.PRNGKey(0), CFG)
+        step = make_train_step(CFG, tx, use_mixup=False, donate=False)
+        state = init_train_state(params, tx)
+        rng = jax.random.PRNGKey(1)
+        b1, b2 = _batch(seed=1), _batch(seed=2)
+
+        state1, _ = step(state, b1, rng)
+        # after micro-batch 1 of 2: params unchanged
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state1.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        state2, _ = step(state1, b2, rng)
+        # after micro-batch 2: params moved by sgd on the grad AVERAGE
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(params), jax.tree.leaves(state2.params)
+            )
+        )
+        assert moved
+
+        from conette_tpu.train.objective import training_loss
+
+        g1 = jax.grad(lambda p: training_loss(p, CFG, b1, jax.random.fold_in(rng, 0), use_mixup=False))(params)
+        g2 = jax.grad(lambda p: training_loss(p, CFG, b2, jax.random.fold_in(rng, 1), use_mixup=False))(params)
+        avg = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+        expect = jax.tree.map(lambda p, g: p - 0.1 * g, params, avg)
+        for a, b in zip(jax.tree.leaves(expect), jax.tree.leaves(state2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
