@@ -694,13 +694,20 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     global_step = 0
     fit_start = time.time()
     last_train_loss = None
+    # trainer.max_steps (reference fit_test.yaml:28, PL semantics: -1 =
+    # unlimited; otherwise stop fitting after that many optimizer steps)
+    max_steps = int(tr_cfg.get("max_steps", -1) or -1)
     from conette_tpu.data.prefetch import prefetch_iterator
 
     for epoch in range(max_epochs):
+        if 0 <= max_steps <= global_step:
+            break
         # background-thread prefetch overlaps HDF reads + collation with the
         # async-dispatched device step (reference DataLoader-workers twin)
         for i, b in enumerate(prefetch_iterator(dm.train_batches(epoch))):
             if lim_train is not None and i >= lim_train:
+                break
+            if 0 <= max_steps <= global_step:
                 break
             state, metrics = train_step(
                 state, shard_train_batch(to_train_batch(b, global_step)), rng
