@@ -25,7 +25,7 @@ import numpy as np
 
 from conette_tpu.models.convnext import convnext_apply, convnext_init
 from conette_tpu.ops.resample import resample_numpy
-from conette_tpu.utils.audio_io import load_wav
+from conette_tpu.utils.audio_io import load_audio
 
 TARGET_SR = 32_000
 FEAT_SIZE = 768
@@ -81,7 +81,7 @@ class CoNeTTEPreprocessor:
 
     # --------------------------------------------------------------- loading
     def _load(self, path: str) -> tuple[np.ndarray, int]:
-        return load_wav(path)
+        return load_audio(path)
 
     def load_resample(
         self,

@@ -99,10 +99,28 @@ def wav_info(path: str) -> tuple[int, int, int]:
 
 
 def load_resample_mono(path: str, target_sr: int = 0) -> np.ndarray:
-    """Decode → channel mean → resample in native code; (time,) float32."""
+    """Decode → channel mean → resample in native code; (time,) float32.
+
+    Non-RIFF containers (FLAC) decode through the pure-Python codec and
+    still resample through the native kernel, so the numerics match the
+    WAV fast path exactly.
+    """
     lib = _load_lib()
     if lib is None:
         raise RuntimeError("native loader not built (run make -C native)")
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic != b"RIFF":
+        from conette_tpu.utils.audio_io import load_audio
+
+        try:
+            wav, sr = load_audio(path)
+        except ValueError as err:  # keep the native OSError contract
+            raise OSError(str(err)) from err
+        mono = wav.mean(axis=0).astype(np.float32)
+        if target_sr <= 0 or sr == target_sr:
+            return mono
+        return resample(mono, sr, target_sr)
     sr, _, frames = wav_info(path)
     tsr = target_sr if target_sr > 0 else sr
     capacity = int(math.ceil(frames * tsr / sr)) + 16

@@ -37,9 +37,9 @@ pylog = logging.getLogger(__name__)
 def load_audio_metadata(fpath: str) -> dict[str, Any]:
     """Duration/sample-rate metadata of one file (disk-cached by callers;
     twin of the torchaudio.info cache, ``prepare.py:279-366``)."""
-    from conette_tpu.utils.audio_io import load_wav
+    from conette_tpu.utils.audio_io import load_audio
 
-    wav, sr = load_wav(fpath)
+    wav, sr = load_audio(fpath)
     return {
         "sample_rate": sr,
         "num_frames": wav.shape[1],
@@ -87,9 +87,9 @@ class LocalAudioDataset:
     def at(self, idx: int, column: str) -> Any:
         fname = self._fnames[idx]
         if column == "audio":
-            from conette_tpu.utils.audio_io import load_wav
+            from conette_tpu.utils.audio_io import load_audio
 
-            return load_wav(os.path.join(self._audio_dir, fname))
+            return load_audio(os.path.join(self._audio_dir, fname))
         if column == "captions":
             return self._captions[fname]
         if column == "dataset":

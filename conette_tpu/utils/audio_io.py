@@ -15,7 +15,29 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["load_wav", "save_wav", "generate_sample_wav"]
+__all__ = ["load_audio", "load_wav", "save_wav", "generate_sample_wav"]
+
+
+def load_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Load an audio file → (waveform (channels, time) float32 in [-1, 1], sr).
+
+    Dispatches on the container magic bytes, not the file extension, like
+    sox/torchaudio do (``huggingface/preprocessor.py:79-80`` loads anything
+    torchaudio reads; WavCaps ships FLAC): RIFF/WAVE → PCM WAV decoder,
+    fLaC → pure-Python FLAC decoder (``utils/flac.py``).
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"RIFF":
+        return load_wav(path)
+    if magic == b"fLaC":
+        from conette_tpu.utils.flac import load_flac
+
+        return load_flac(path)
+    raise ValueError(
+        f"Unsupported audio container in {path!r} (magic {magic!r}); "
+        "supported: RIFF/WAVE PCM, FLAC"
+    )
 
 
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
@@ -82,11 +104,16 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def save_wav(path: str, waveform: np.ndarray, sr: int) -> None:
-    """Save float32 (channels, time) or (time,) waveform as 16-bit PCM WAV."""
+    """Save float32 (channels, time) or (time,) waveform as 16-bit PCM WAV.
+
+    Quantizes round-to-nearest with the same 1/32768 LSB that ``load_wav``
+    divides by, so save→load round-trips exactly for representable values
+    (and matches ``utils/flac.py::save_flac``'s convention).
+    """
     waveform = np.asarray(waveform, dtype=np.float32)
     if waveform.ndim == 1:
         waveform = waveform[None, :]
-    pcm = np.clip(waveform.T * 32767.0, -32768, 32767).astype("<i2")
+    pcm = np.clip(np.rint(waveform.T * 32768.0), -32768, 32767).astype("<i2")
     with wave.open(path, "wb") as w:
         w.setnchannels(waveform.shape[0])
         w.setsampwidth(2)

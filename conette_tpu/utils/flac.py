@@ -1,0 +1,674 @@
+"""Pure-Python FLAC codec (decode + encode), no external dependencies.
+
+The reference accepts anything torchaudio/sox reads
+(``/root/reference/src/conette/huggingface/preprocessor.py:79-80``); the
+WavCaps corpus in particular ships FLAC. This host has no libsndfile/sox/
+ffmpeg, so the stream format (RFC 9639) is implemented directly:
+
+* **Decoder**: STREAMINFO + frame parsing, CONSTANT / VERBATIM / FIXED
+  (orders 0-4) / LPC subframes, Rice + Rice2 partitioned residuals with
+  escape codes, wasted bits, all four stereo decorrelation modes
+  (independent, left/side, right/side, mid/side), CRC-8 (frame header),
+  CRC-16 (whole frame) and STREAMINFO-MD5 verification.
+* **Encoder**: enough of the format to produce spec-valid streams that
+  exercise every decode path (constant / verbatim / fixed subframes, Rice
+  partitions, the stereo modes, 8/16/24-bit) — used for checked-in test
+  fixtures and ``save_flac``. Streams carry correct CRCs and MD5 so the
+  official ``flac -t`` accepts them (gated cross-check in
+  ``tests/test_flac.py`` when a real binary is present).
+
+Output layout/scaling matches ``torchaudio.load``: float32
+``(channels, time)`` with ints scaled by ``1 / 2**(bits-1)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["load_flac", "save_flac", "decode_flac_bytes", "encode_flac_bytes"]
+
+
+# ---------------------------------------------------------------------------
+# CRCs (poly/init per RFC 9639 §9.2, §9.3)
+# ---------------------------------------------------------------------------
+
+def _make_crc8_table() -> np.ndarray:
+    tbl = np.zeros(256, np.uint8)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if (c & 0x80) else (c << 1) & 0xFF
+        tbl[i] = c
+    return tbl
+
+
+def _make_crc16_table() -> np.ndarray:
+    tbl = np.zeros(256, np.uint16)
+    for i in range(256):
+        c = i << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if (c & 0x8000) else (c << 1) & 0xFFFF
+        tbl[i] = c
+    return tbl
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    t = _CRC8_TABLE
+    for b in data:
+        c = int(t[c ^ b])
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    t = _CRC16_TABLE
+    for b in data:
+        c = int(t[(c >> 8) ^ b]) ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Bit reader
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first bit reader over a bytes buffer.
+
+    Unary scans ride a precomputed sorted index of 1-bits
+    (``np.flatnonzero`` + ``searchsorted``) so Rice quotients cost O(log n)
+    instead of a per-bit Python loop.
+    """
+
+    __slots__ = ("data", "pos", "_bits", "_ones")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+        self._bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self._ones = np.flatnonzero(self._bits)
+
+    def read_uint(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.pos
+        self.pos = p + n
+        byte0, bit0 = divmod(p, 8)
+        nbytes = (bit0 + n + 7) // 8
+        chunk = self.data[byte0 : byte0 + nbytes]
+        if len(chunk) < nbytes:
+            raise ValueError("FLAC: truncated stream")
+        v = int.from_bytes(chunk, "big")
+        return (v >> (nbytes * 8 - bit0 - n)) & ((1 << n) - 1)
+
+    def read_sint(self, n: int) -> int:
+        v = self.read_uint(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        i = int(np.searchsorted(self._ones, self.pos))
+        if i >= len(self._ones):
+            raise ValueError("FLAC: truncated unary code")
+        one_pos = int(self._ones[i])
+        q = one_pos - self.pos
+        self.pos = one_pos + 1
+        return q
+
+    def align_byte(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def read_utf8_coded(self) -> int:
+        """UTF-8-style coded number (frame/sample number, up to 36 bits)."""
+        b0 = self.read_uint(8)
+        if b0 < 0x80:
+            return b0
+        n = 0
+        mask = 0x80
+        while b0 & mask:
+            n += 1
+            mask >>= 1
+        if n < 2 or n > 7:
+            raise ValueError(f"FLAC: invalid UTF-8 coded number lead byte {b0:#x}")
+        v = b0 & (0xFF >> (n + 1))
+        for _ in range(n - 1):
+            b = self.read_uint(8)
+            if (b & 0xC0) != 0x80:
+                raise ValueError("FLAC: invalid UTF-8 continuation byte")
+            v = (v << 6) | (b & 0x3F)
+        return v
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+_BLOCKSIZE_CODE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                   8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                   13: 8192, 14: 16384, 15: 32768}
+_SAMPLE_SIZE_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_SAMPLE_RATE_CODE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+                     6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+                     11: 96000}
+
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _decode_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
+    method = br.read_uint(2)
+    if method not in (0, 1):
+        raise ValueError(f"FLAC: reserved residual coding method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    part_order = br.read_uint(4)
+    nparts = 1 << part_order
+    if blocksize % nparts:
+        raise ValueError("FLAC: partition order does not divide block size")
+    part_len = blocksize >> part_order
+    if part_len <= order and nparts == 1:
+        raise ValueError("FLAC: first partition has no samples")
+    out = np.empty(blocksize - order, np.int64)
+    idx = 0
+    for p in range(nparts):
+        n = part_len - (order if p == 0 else 0)
+        k = br.read_uint(pbits)
+        if k == escape:
+            raw = br.read_uint(5)
+            if raw == 0:
+                out[idx : idx + n] = 0
+            else:
+                for i in range(n):
+                    out[idx + i] = br.read_sint(raw)
+        else:
+            ru, rs, rk = br.read_unary, br.read_uint, k
+            for i in range(n):
+                q = ru()
+                v = (q << rk) | rs(rk) if rk else q
+                out[idx + i] = (v >> 1) ^ -(v & 1)
+        idx += n
+    return out
+
+
+def _apply_fixed(order: int, warmup: List[int], res: np.ndarray) -> np.ndarray:
+    n = order + len(res)
+    out = np.empty(n, np.int64)
+    out[:order] = warmup
+    if order == 0:
+        out[:] = res
+    elif order == 1:
+        out[1:] = res
+        np.cumsum(out, out=out)
+    else:
+        coefs = _FIXED_COEFS[order]
+        o = out
+        for i in range(order, n):
+            acc = int(res[i - order])
+            for j, c in enumerate(coefs):
+                acc += c * int(o[i - 1 - j])
+            o[i] = acc
+    return out
+
+
+def _apply_lpc(
+    order: int, coefs: List[int], shift: int, warmup: List[int], res: np.ndarray
+) -> np.ndarray:
+    n = order + len(res)
+    out = np.empty(n, np.int64)
+    out[:order] = warmup
+    o = out
+    for i in range(order, n):
+        acc = 0
+        for j in range(order):
+            acc += coefs[j] * int(o[i - 1 - j])
+        o[i] = (acc >> shift) + int(res[i - order])
+    return out
+
+
+def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+    if br.read_uint(1) != 0:
+        raise ValueError("FLAC: subframe padding bit not zero")
+    sf_type = br.read_uint(6)
+    wasted = 0
+    if br.read_uint(1):
+        wasted = br.read_unary() + 1
+        bps -= wasted
+    if sf_type == 0:  # CONSTANT
+        out = np.full(blocksize, br.read_sint(bps), np.int64)
+    elif sf_type == 1:  # VERBATIM
+        out = np.array([br.read_sint(bps) for _ in range(blocksize)], np.int64)
+    elif 8 <= sf_type <= 12:  # FIXED
+        order = sf_type - 8
+        warmup = [br.read_sint(bps) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        out = _apply_fixed(order, warmup, res)
+    elif sf_type >= 32:  # LPC
+        order = sf_type - 31
+        warmup = [br.read_sint(bps) for _ in range(order)]
+        prec = br.read_uint(4)
+        if prec == 15:
+            raise ValueError("FLAC: invalid LPC precision code")
+        prec += 1
+        shift = br.read_sint(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coefs = [br.read_sint(prec) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        out = _apply_lpc(order, coefs, shift, warmup, res)
+    else:
+        raise ValueError(f"FLAC: reserved subframe type {sf_type}")
+    if wasted:
+        out <<= wasted
+    return out
+
+
+def decode_flac_bytes(
+    data: bytes, *, verify_md5: bool = True
+) -> Tuple[np.ndarray, int, int]:
+    """Decode a FLAC stream → (int samples (channels, time) int32, sr, bits)."""
+    if data[:4] != b"fLaC":
+        raise ValueError("Not a FLAC stream (missing fLaC magic)")
+    off = 4
+    streaminfo: Optional[bytes] = None
+    while True:
+        if off + 4 > len(data):
+            raise ValueError("FLAC: truncated metadata")
+        hdr = data[off]
+        last, btype = hdr >> 7, hdr & 0x7F
+        size = int.from_bytes(data[off + 1 : off + 4], "big")
+        body = data[off + 4 : off + 4 + size]
+        if btype == 0:
+            streaminfo = body
+        off += 4 + size
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC: missing STREAMINFO")
+
+    sr = int.from_bytes(streaminfo[10:13], "big") >> 4
+    channels = ((streaminfo[12] >> 1) & 0x7) + 1
+    bits = (((streaminfo[12] & 0x1) << 4) | (streaminfo[13] >> 4)) + 1
+    total = ((streaminfo[13] & 0x0F) << 32) | int.from_bytes(streaminfo[14:18], "big")
+    md5_expected = streaminfo[18:34]
+
+    chans: List[List[np.ndarray]] = [[] for _ in range(channels)]
+    br = _BitReader(data[off:])
+    nbits_total = len(br._bits)
+    md5 = hashlib.md5() if verify_md5 else None
+    sample_bytes = (bits + 7) // 8
+
+    while br.pos + 16 <= nbits_total:
+        frame_start_bit = br.pos
+        if frame_start_bit % 8:
+            raise ValueError("FLAC: frame not byte-aligned")
+        sync = br.read_uint(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"FLAC: bad sync code {sync:#x}")
+        if br.read_uint(1) != 0:
+            raise ValueError("FLAC: reserved bit set in frame header")
+        br.read_uint(1)  # blocking strategy
+        bs_code = br.read_uint(4)
+        sr_code = br.read_uint(4)
+        ch_code = br.read_uint(4)
+        ss_code = br.read_uint(3)
+        if br.read_uint(1) != 0:
+            raise ValueError("FLAC: reserved bit set in frame header")
+        br.read_utf8_coded()
+        if bs_code == 0:
+            raise ValueError("FLAC: reserved block size code 0")
+        elif bs_code == 6:
+            blocksize = br.read_uint(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read_uint(16) + 1
+        else:
+            blocksize = _BLOCKSIZE_CODE[bs_code]
+        if sr_code == 12:
+            br.read_uint(8)
+        elif sr_code in (13, 14):
+            br.read_uint(16)
+        elif sr_code == 15:
+            raise ValueError("FLAC: invalid sample rate code")
+        bps = bits if ss_code == 0 else _SAMPLE_SIZE_CODE[ss_code]
+        hdr_end_byte = br.pos // 8
+        crc8 = br.read_uint(8)
+        frame_start_byte = frame_start_bit // 8
+        calc = _crc8(data[off + frame_start_byte : off + hdr_end_byte])
+        if crc8 != calc:
+            raise ValueError(f"FLAC: frame header CRC-8 mismatch ({crc8:#x} != {calc:#x})")
+
+        if ch_code <= 7:
+            nch = ch_code + 1
+            if nch != channels:
+                raise ValueError("FLAC: frame channel count != STREAMINFO")
+            subs = [_decode_subframe(br, blocksize, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if channels != 2:
+                raise ValueError("FLAC: stereo decorrelation in non-stereo stream")
+            if ch_code == 8:  # left/side
+                left = _decode_subframe(br, blocksize, bps)
+                side = _decode_subframe(br, blocksize, bps + 1)
+                subs = [left, left - side]
+            elif ch_code == 9:  # right/side
+                side = _decode_subframe(br, blocksize, bps + 1)
+                right = _decode_subframe(br, blocksize, bps)
+                subs = [side + right, right]
+            else:  # mid/side
+                mid = _decode_subframe(br, blocksize, bps)
+                side = _decode_subframe(br, blocksize, bps + 1)
+                m2 = (mid << 1) | (side & 1)
+                subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise ValueError(f"FLAC: reserved channel assignment {ch_code}")
+
+        br.align_byte()
+        body_end_byte = br.pos // 8
+        crc16 = br.read_uint(16)
+        calc16 = _crc16(data[off + frame_start_byte : off + body_end_byte])
+        if crc16 != calc16:
+            raise ValueError(f"FLAC: frame CRC-16 mismatch ({crc16:#x} != {calc16:#x})")
+
+        for c in range(channels):
+            chans[c].append(subs[c])
+        if md5 is not None:
+            inter = np.empty(blocksize * channels, np.int64)
+            for c in range(channels):
+                inter[c::channels] = subs[c]
+            if sample_bytes in (1, 2, 4):
+                dt = {1: "<i1", 2: "<i2", 4: "<i4"}[sample_bytes]
+                md5.update(inter.astype(dt).tobytes())
+            else:  # 24-bit: 3 little-endian bytes per sample
+                b4 = inter.astype("<i4").view(np.uint8).reshape(-1, 4)
+                md5.update(np.ascontiguousarray(b4[:, :3]).tobytes())
+
+    out = np.stack([np.concatenate(c) for c in chans]) if chans[0] else np.zeros(
+        (channels, 0), np.int64
+    )
+    if total and out.shape[1] < total:
+        raise ValueError(f"FLAC: decoded {out.shape[1]} < STREAMINFO total {total}")
+    if total:
+        out = out[:, :total]
+    if md5 is not None and md5_expected != b"\x00" * 16:
+        if total and out.shape[1] != total:
+            pass  # trimmed: MD5 covers untrimmed stream; already checked above
+        if md5.digest() != md5_expected:
+            raise ValueError("FLAC: decoded audio MD5 != STREAMINFO MD5")
+    return out.astype(np.int32), sr, bits
+
+
+def load_flac(path: str) -> Tuple[np.ndarray, int]:
+    """Load a FLAC file → (waveform (channels, time) float32 in [-1, 1], sr).
+
+    Same normalization as ``torchaudio.load``: ints scaled by 1/2**(bits-1).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    samples, sr, bits = decode_flac_bytes(data)
+    return samples.astype(np.float32) / float(1 << (bits - 1)), sr
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    __slots__ = ("buf", "_acc", "_nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write_uint(self, v: int, n: int) -> None:
+        if n == 0:
+            return
+        self._acc = (self._acc << n) | (v & ((1 << n) - 1))
+        self._nbits += n
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self.buf.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def write_sint(self, v: int, n: int) -> None:
+        self.write_uint(v & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write_uint(0, 32)
+            q -= 32
+        self.write_uint(1, q + 1)
+
+    def align_byte(self) -> None:
+        if self._nbits:
+            self.write_uint(0, 8 - self._nbits)
+
+    def getvalue(self) -> bytes:
+        assert self._nbits == 0
+        return bytes(self.buf)
+
+
+def _utf8_coded(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (6 * (nbytes - 1) + (7 - nbytes))):
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _best_rice_param(res: np.ndarray, pbits: int) -> int:
+    if len(res) == 0:
+        return 0
+    zz = (np.abs(res.astype(np.int64)) << 1) - (res < 0)
+    mean = max(float(zz.mean()), 0.0)
+    k = 0
+    while (1 << (k + 1)) < mean + 1 and k < (1 << pbits) - 2:
+        k += 1
+    return k
+
+
+def _write_residual(bw: _BitWriter, res: np.ndarray, part_order: int, order: int) -> None:
+    # Rice (4-bit params, k≤14) unless the residual magnitude needs the
+    # Rice2 escape range (5-bit params, k≤30) — what real encoders do for
+    # >16-bit audio.
+    pbits = 4 if _best_rice_param(res, 5) <= 14 else 5
+    bw.write_uint(0 if pbits == 4 else 1, 2)
+    bw.write_uint(part_order, 4)
+    nparts = 1 << part_order
+    total = len(res) + order
+    part_len = total >> part_order
+    idx = 0
+    for p in range(nparts):
+        n = part_len - (order if p == 0 else 0)
+        chunk = res[idx : idx + n]
+        idx += n
+        k = _best_rice_param(chunk, pbits)
+        bw.write_uint(k, pbits)
+        for v in chunk:
+            v = int(v)
+            u = (abs(v) << 1) - (1 if v < 0 else 0)  # zigzag
+            bw.write_unary(u >> k)
+            if k:
+                bw.write_uint(u & ((1 << k) - 1), k)
+
+
+def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
+    x = x.astype(np.int64)
+    bw.write_uint(0, 1)  # padding
+    if np.all(x == x[0]):
+        bw.write_uint(0, 6)  # CONSTANT
+        bw.write_uint(0, 1)  # no wasted bits
+        bw.write_sint(int(x[0]), bps)
+        return
+    # pick best fixed order 0..2 by residual magnitude
+    best_order, best_cost, best_res = 0, None, None
+    for order in (0, 1, 2):
+        if len(x) <= order:
+            continue
+        if order == 0:
+            res = x
+        elif order == 1:
+            res = x[1:] - x[:-1]
+        else:
+            res = x[2:] - 2 * x[1:-1] + x[:-2]
+        cost = float(np.abs(res).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_cost, best_res = order, cost, res
+    # verbatim fallback if residuals overflow what rice handles comfortably
+    if best_res is not None and np.abs(best_res).max() < (1 << (bps + 2)):
+        bw.write_uint(8 + best_order, 6)  # FIXED
+        bw.write_uint(0, 1)
+        for i in range(best_order):
+            bw.write_sint(int(x[i]), bps)
+        part_order = 1 if (len(x) % 2 == 0 and len(x) // 2 > best_order) else 0
+        _write_residual(bw, best_res, part_order, best_order)
+    else:
+        bw.write_uint(1, 6)  # VERBATIM
+        bw.write_uint(0, 1)
+        for v in x:
+            bw.write_sint(int(v), bps)
+
+
+def encode_flac_bytes(
+    samples: np.ndarray,
+    sr: int,
+    bits: int = 16,
+    *,
+    blocksize: int = 4096,
+    stereo_mode: str = "indep",
+) -> bytes:
+    """Encode int samples (channels, time) → FLAC stream bytes.
+
+    ``stereo_mode``: ``indep`` / ``ls`` (left-side) / ``rs`` (right-side) /
+    ``ms`` (mid-side) — the decorrelation modes a real encoder emits, kept
+    selectable so tests exercise every decode path.
+    """
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[None]
+    channels, total = samples.shape
+    samples = samples.astype(np.int64)
+    lim = 1 << (bits - 1)
+    if samples.min() < -lim or samples.max() > lim - 1:
+        raise ValueError(f"samples exceed {bits}-bit range")
+    if stereo_mode != "indep" and channels != 2:
+        raise ValueError("stereo_mode requires 2 channels")
+
+    # STREAMINFO MD5: interleaved little-endian samples
+    inter = np.empty(total * channels, np.int64)
+    for c in range(channels):
+        inter[c::channels] = samples[c]
+    sample_bytes = (bits + 7) // 8
+    if sample_bytes in (1, 2, 4):
+        md5 = hashlib.md5(inter.astype({1: "<i1", 2: "<i2", 4: "<i4"}[sample_bytes]).tobytes())
+    else:
+        b4 = inter.astype("<i4").view(np.uint8).reshape(-1, 4)
+        md5 = hashlib.md5(np.ascontiguousarray(b4[:, :3]).tobytes())
+
+    frames = bytearray()
+    frame_no = 0
+    pos = 0
+    while pos < total:
+        n = min(blocksize, total - pos)
+        block = samples[:, pos : pos + n]
+        bw = _BitWriter()
+        bw.write_uint(0x3FFE, 14)
+        bw.write_uint(0, 1)
+        bw.write_uint(0, 1)  # fixed blocksize strategy (frame number coded)
+        bs_code = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8, 512: 9,
+                   1024: 10, 2048: 11, 4096: 12, 8192: 13, 16384: 14,
+                   32768: 15}.get(n)
+        if bs_code is None:
+            bs_code = 7 if n > 256 else 6
+        bw.write_uint(bs_code, 4)
+        sr_code = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+                   24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11}.get(sr, 0)
+        bw.write_uint(sr_code, 4)
+        ch_code = {"indep": channels - 1, "ls": 8, "rs": 9, "ms": 10}[stereo_mode]
+        bw.write_uint(ch_code, 4)
+        ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits]
+        bw.write_uint(ss_code, 3)
+        bw.write_uint(0, 1)
+        for b in _utf8_coded(frame_no):
+            bw.write_uint(b, 8)
+        if bs_code == 6:
+            bw.write_uint(n - 1, 8)
+        elif bs_code == 7:
+            bw.write_uint(n - 1, 16)
+        bw.align_byte()
+        hdr = bw.getvalue()
+        bw2 = _BitWriter()
+        for b in hdr:
+            bw2.write_uint(b, 8)
+        bw2.write_uint(_crc8(hdr), 8)
+
+        if stereo_mode == "indep":
+            for c in range(channels):
+                _encode_subframe(bw2, block[c], bits)
+        elif stereo_mode == "ls":
+            _encode_subframe(bw2, block[0], bits)
+            _encode_subframe(bw2, block[0] - block[1], bits + 1)
+        elif stereo_mode == "rs":
+            _encode_subframe(bw2, block[0] - block[1], bits + 1)
+            _encode_subframe(bw2, block[1], bits)
+        else:  # ms
+            _encode_subframe(bw2, (block[0] + block[1]) >> 1, bits)
+            _encode_subframe(bw2, block[0] - block[1], bits + 1)
+        bw2.align_byte()
+        body = bw2.getvalue()
+        bw3 = _BitWriter()
+        for b in body:
+            bw3.write_uint(b, 8)
+        bw3.write_uint(_crc16(body), 16)
+        frames += bw3.getvalue()
+        frame_no += 1
+        pos += n
+
+    si = _BitWriter()
+    si.write_uint(min(blocksize, total) if total else blocksize, 16)  # min blocksize
+    si.write_uint(blocksize, 16)  # max blocksize
+    si.write_uint(0, 24)  # min framesize unknown
+    si.write_uint(0, 24)  # max framesize unknown
+    si.write_uint(sr, 20)
+    si.write_uint(channels - 1, 3)
+    si.write_uint(bits - 1, 5)
+    si.write_uint(total, 36)
+    streaminfo = si.getvalue() + md5.digest()
+    header = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return header + bytes(frames)
+
+
+def save_flac(
+    path: str,
+    waveform: np.ndarray,
+    sr: int,
+    bits: int = 16,
+    *,
+    stereo_mode: str = "indep",
+) -> None:
+    """Save float32 (channels, time) or (time,) waveform as FLAC.
+
+    Quantization matches the WAV writer: scale by 2**(bits-1)-ish clip —
+    here round-to-nearest into the signed range so decode→float is within
+    half an LSB of the input.
+    """
+    waveform = np.asarray(waveform, dtype=np.float32)
+    if waveform.ndim == 1:
+        waveform = waveform[None, :]
+    lim = float(1 << (bits - 1))
+    q = np.clip(np.rint(waveform * lim), -lim, lim - 1).astype(np.int64)
+    data = encode_flac_bytes(q, sr, bits, stereo_mode=stereo_mode)
+    with open(path, "wb") as f:
+        f.write(data)
