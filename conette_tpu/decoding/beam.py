@@ -14,6 +14,17 @@ Behavior parity with the reference ``generate``
   remaining live beams continue and the selection width shrinks with it
   (beam.py:158-203); at the last step every live beam retires.
 
+Tie-break semantics: torch's ``topk`` tie order is unspecified and
+empirically unstable across input sizes (see tests/test_beam_tiebreak.py),
+so exact-tie bit-parity vs the reference is unattainable even in principle.
+This implementation's tie-break is deterministic and documented: XLA's
+``lax.top_k`` keeps the LOWEST flat index first (parent-major, then token
+id), and the final best-hypothesis ``argmax`` keeps the first maximum in
+finish order (= score-rank order within a step). Under exact ties the
+output differs from torch only by the arbitrary label among exactly
+interchangeable hypotheses (scores identical); under near-ties that are
+distinct in f32 the two stacks agree bit-exactly.
+
 TPU-first redesign: the reference shrinks the live batch dynamically and
 loops per batch element; here the state is a fixed (B·beam) batch where
 retired beams are score-masked to -inf (so they sort last and never win),
