@@ -1,73 +1,37 @@
 """conette-train — the full training pipeline.
 
 Orchestration twin of the reference ``main_train``
-(``src/conette/train.py:359-527``), reorganized for JAX/TPU:
+(``src/conette/train.py:359-527``), reorganized for JAX/TPU and composed
+from phase modules (mirroring the reference's train.py/callbacks split):
 
-1/6 setup: seed, run dir, RunLogger, optional ``jax_debug_nans``
-    (the reference's ``detect_anomaly`` + NaN early-stop twin);
+1/6 setup (``train/run_setup.py``): seed, run dir, RunLogger, optional
+    ``jax_debug_nans`` (the reference's ``detect_anomaly`` + NaN
+    early-stop twin);
 2/6 tokenizers + train-time transforms (SpecAugmentRatio on embeddings);
 3/6 datamodule (HDF) + model params + optimizer;
-4/6 fit: jitted train step (pjit-DP over the local mesh when >1 device),
-    per-epoch validation (multi-ref forced loss + generated candidates →
-    CIDEr-D/FENSE monitors), monitored checkpointing with ``best`` link;
+4/6 fit (``train/loop.py``): jitted train step (pjit-DP over the local
+    mesh when >1 device), per-epoch validation (multi-ref forced loss +
+    generated candidates → CIDEr-D/FENSE monitors,
+    ``train/eval_run.py``), monitored checkpointing with ``best`` link;
 5/6 test with the best checkpoint: beam-3 generation + AllMetrics corpus
     scoring + CSV/DCASE export (single-host scoring — the TPU analogue of
     the reference's rank-0 eval handoff, ``train.py:419-433``);
-6/6 artifact dump: resolved config, tokenizer, metrics, durations, csums.
+6/6 artifact dump (``train/artifacts.py``): resolved config, tokenizer,
+    metrics, durations, csums.
 """
 
 from __future__ import annotations
 
-import datetime
 import logging
 import os
 import sys
-import time
 from typing import Any, Optional
 
 import numpy as np
 
+from conette_tpu.train.run_setup import run_tag, setup_run  # noqa: F401  (re-export)
+
 pylog = logging.getLogger(__name__)
-
-
-def _sanitize_tag(s: str) -> str:
-    return (
-        s.replace("/", "_").replace("=", "_")
-        .replace("[", "").replace("]", "").replace(" ", "")
-    )
-
-
-def run_tag(cfg: Any, argv: list[str]) -> str:
-    """Run-dir tag — twin of the reference's get_tag/get_subtag hydra
-    resolvers (utils/hydra.py:47-126): explicit ``tagk`` keys (possibly
-    dotted) join their config values (NOTAG when all empty); otherwise the
-    tag derives from the CLI overrides (the sweep-override auto-detection
-    of get_subtag_fn, adapted to the flat CLI); ``pretag``/``posttag``
-    affixes; sanitized and capped at 80 chars."""
-    tagk = cfg.get("tagk") or []
-    if isinstance(tagk, str) and tagk != "auto":
-        tagk = [tagk]
-    if tagk and tagk != "auto":
-        vals = [cfg.get_path(str(k)) for k in tagk]
-        tag = (
-            "-".join(
-                _sanitize_tag(str(v)) for v in vals if v not in (None, "")
-            )
-            or "NOTAG"
-        )
-    else:
-        tag = "-".join(
-            _sanitize_tag(a)
-            for a in argv
-            if not a.startswith(("log_root", "run_name", "dm.hdf_root"))
-        )
-    pretag = _sanitize_tag(str(cfg.get("pretag", "") or ""))
-    posttag = _sanitize_tag(str(cfg.get("posttag", "") or ""))
-    if pretag and not pretag.endswith("-"):
-        pretag += "-"
-    if posttag and not posttag.startswith("-"):
-        posttag = "-" + posttag
-    return f"{pretag}{tag}{posttag}"[:80]
 
 
 def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
@@ -81,66 +45,9 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     import jax
     import jax.numpy as jnp
 
-    # multi-host init first (SLURM/JAX_* env; no-op single-process) so all
-    # later device queries see the global topology — the reference's
-    # SLURMEnvironment + DDP plumbing twin (train.py:413-433)
-    from conette_tpu.parallel.distributed import (
-        initialize as dist_initialize,
-        is_main_process,
-        rank_tag,
-    )
+    from conette_tpu.parallel.distributed import is_main_process
 
-    # trainer/plugins: lightning = local environment (ignore SLURM_*);
-    # slurm/none = scheduler env honoured (reference plugin twins)
-    plugin = str(cfg.get_path("trainer.plugins.name", "none"))
-    dist_initialize(use_scheduler_env=plugin != "lightning")
-
-    from conette_tpu.utils.log_utils import setup_job_logging
-
-    setup_job_logging(
-        rank_tag=rank_tag() if jax.process_count() > 1 else None,
-        verbose=int(cfg.get("verbose", 1)),
-    )
-
-    if cfg.get("debug"):
-        jax.config.update("jax_debug_nans", True)
-
-    seed = int(cfg.get("seed", 1234))
-    tag = run_tag(cfg, argv)
-    # multi-host: every process must derive the SAME run name (shared-FS
-    # artifact/ckpt dirs), but wall clocks can tick between process
-    # starts — broadcast process 0's timestamp
-    now = time.time()
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        now = float(multihost_utils.broadcast_one_to_all(np.float64(now)))
-    stamp = datetime.datetime.fromtimestamp(now).strftime("%Y.%m.%d-%H.%M.%S")
-    run_name = cfg.get("run_name") or (
-        f"{cfg.get('job', 'train')}-" + stamp + (f"-{tag}" if tag else "")
-    )
-    run_dir = os.path.join(cfg.get("log_root", "logs"), run_name)
-    os.makedirs(run_dir, exist_ok=True)
-    # re-attach with the run-dir file handler (logs/outputs.log twin)
-    setup_job_logging(
-        run_dir=run_dir,
-        rank_tag=rank_tag() if jax.process_count() > 1 else None,
-        verbose=int(cfg.get("verbose", 1)),
-    )
-
-    from conette_tpu.utils.misc import get_current_git_hash, reset_seed, save_code_to_zip
-    from conette_tpu.utils.run_logger import RunLogger
-
-    reset_seed(seed)
-    logger = RunLogger(run_dir)
-    logger.log_hyperparams(
-        {"cfg": dict(cfg), "seed": seed, "git_hash": get_current_git_hash()}
-    )
-    try:
-        save_code_to_zip(os.path.join(run_dir, "code.zip"))
-    except Exception as err:
-        pylog.warning(f"code snapshot failed: {err}")
-    t_start = time.time()
+    run_dir, logger, seed, t_start = setup_run(cfg, argv)
 
     # ----------------------------------------------- 2/6 tokenizer + tfms
     from conette_tpu.tokenization import AACTokenizer
@@ -281,6 +188,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
     # resume (weight warm start; optimizer momentum restored further down
     # once the optax state skeleton exists)
     resumed_opt_flat = None
+    loaded: dict[str, Any] = {}
     if cfg.get("resume"):
         from conette_tpu.train.checkpoint import load_checkpoint
         from conette_tpu.huggingface.convert import flatten_pytree, unflatten_pytree
@@ -369,7 +277,6 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
 
     # optional EMA of weights (reference's optional EMA callback twin)
     ema_decay = tr_cfg.get("ema_decay")
-    ema_params = params if ema_decay else None
 
     # optional SWA (reference's optional StochasticWeightAveraging callback,
     # train.py:167-280 assembly): average snapshots from swa_start onwards
@@ -381,8 +288,6 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             if isinstance(swa_start_cfg, float) or float(swa_start_cfg) < 1
             else int(swa_start_cfg)
         )
-    swa_params = None
-    swa_n = 0
 
     # reduce-on-plateau: host-side factor injected into the optimizer lr
     from conette_tpu.train.optim import ReduceLROnPlateau, get_schedule
@@ -399,7 +304,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         # per-epoch LR logging (LogLRCallback twin, callbacks/log.py:16-60)
         lr_schedule = get_schedule(sched_name, base_lr, max_epochs, **sched_kwargs)
 
-    from conette_tpu.train.objective import training_loss, validation_loss
+    from conette_tpu.train.objective import training_loss
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -474,22 +379,10 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         shard_train_batch = lambda b: b  # noqa: E731
 
     train_step = jax.jit(train_step, donate_argnums=(0,))
-    val_loss_fn = jax.jit(
-        lambda p, batch: validation_loss(p, model_cfg, batch)
-    )
 
-    gen_val = pl_cfg.get("gen_val_cands", "generate")
-    gen_test = pl_cfg.get("gen_test_cands", "generate")
-    gen_fn = _make_gen_fn(model_cfg, method=gen_val)
-    gen_fn_test = (
-        gen_fn if gen_test == gen_val else _make_gen_fn(model_cfg, method=gen_test)
-    )
-    forbid_np = build_forbid_rep_mask(tokenizer, "content_words")
-    forbid = jnp.asarray(forbid_np)
-
-    from conette_tpu.train.checkpoint import CheckpointManager
-    from conette_tpu.train.evaluation import Evaluator, Validator
     from conette_tpu.metrics.functional import fense as fense_mod
+    from conette_tpu.train.checkpoint import CheckpointManager
+    from conette_tpu.train.eval_run import EvalRunner
 
     ck_cfg = cfg.get("ckpts", {})
     monitor = ck_cfg.get("monitor", "val/fense")
@@ -503,11 +396,23 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         top_k=int(ck_cfg.get("top_k", 1)),
         save_after_epoch=int(ck_cfg.get("save_after_epoch", 0)),
     )
-    validator = Validator(monitors=(monitor,))
+
+    forbid_np = build_forbid_rep_mask(tokenizer, "content_words")
+    eval_runner = EvalRunner(
+        dm=dm,
+        tokenizer=tokenizer,
+        model_cfg=model_cfg,
+        run_dir=run_dir,
+        logger=logger,
+        forbid=jnp.asarray(forbid_np),
+        gen_val=pl_cfg.get("gen_val_cands", "generate"),
+        gen_test=pl_cfg.get("gen_test_cands", "generate"),
+        lim_val=tr_cfg.get("limit_val_batches"),
+        lim_test=tr_cfg.get("limit_test_batches"),
+        monitor=monitor,
+    )
 
     lim_train = tr_cfg.get("limit_train_batches")
-    lim_val = tr_cfg.get("limit_val_batches")
-    lim_test = tr_cfg.get("limit_test_batches")
     log_every_n_steps = max(int(tr_cfg.get("log_every_n_steps", 50)), 1)
     rng = jax.random.PRNGKey(seed)
 
@@ -538,136 +443,10 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             )
         return batch
 
-    def run_validation(epoch: int) -> dict:
-        validator.reset()
-        val_losses = []
-        for j, b in enumerate(dm.eval_batches("val")):
-            if lim_val is not None and j >= lim_val:
-                break
-            vb = {
-                "audio": jnp.asarray(b["audio"]),
-                "audio_lens": jnp.asarray(b["audio_lens"]),
-                "mult_captions": jnp.asarray(b["mult_captions"]),
-            }
-            val_losses.append(float(val_loss_fn(state.params, vb)))
-            bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-            preds, _, _, _ = gen_fn(
-                state.params, vb["audio"], vb["audio_lens"], bos, forbid
-            )
-            cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
-            validator.add_batch(cands, b["mult_references"])
-        metrics = validator.compute()
-        metrics["val/loss"] = float(np.mean(val_losses)) if val_losses else 0.0
-        return metrics
-
-    # test/predict machinery — shared by test_on_start (pre-fit) and the
-    # post-fit testing.run passes
-    from conette_tpu.metrics import AllMetrics
-    from conette_tpu.train.evaluation import make_metric_tokenizer
-    from conette_tpu.train.objective import per_ref_losses
-
-    test_losses_fn = jax.jit(
-        lambda p, batch: per_ref_losses(p, model_cfg, batch)
-    )
-    # one AllMetrics per run (FENSE model load + Java setup are costly);
-    # every testing.run pass shares it
-    test_metrics: list[Any] = []
-
-    def _decode_and_score_batch(
-        evaluator: "Evaluator", params, b, default_subset: str,
-        with_losses: bool,
-    ) -> None:
-        audio = jnp.asarray(b["audio"])
-        lens = jnp.asarray(b["audio_lens"])
-        bos = jnp.asarray(b["mult_captions"][:, 0, 0])
-        preds, lprobs, mpreds, mlprobs = gen_fn_test(
-            params, audio, lens, bos, forbid
-        )
-        cands = _decode_preds(tokenizer, model_cfg.eos_id, np.asarray(preds))
-        mp = np.asarray(mpreds)
-        mcands = [
-            _decode_preds(tokenizer, model_cfg.eos_id, mp[i])
-            for i in range(mp.shape[0])
-        ]
-        losses = None
-        if with_losses:
-            # per-(clip, ref) forced losses — the reference's `losses`
-            # CSV column (test_step, conette.py:293-350)
-            loss_mat, loss_valid = test_losses_fn(
-                params,
-                {
-                    "audio": audio,
-                    "audio_lens": lens,
-                    "mult_captions": jnp.asarray(b["mult_captions"]),
-                },
-            )
-            losses = [
-                [float(x) for x, ok in zip(row, okr) if ok]
-                for row, okr in zip(
-                    np.asarray(loss_mat), np.asarray(loss_valid)
-                )
-            ]
-        evaluator.add_batch(
-            cands,
-            b["mult_references"],
-            fnames=b.get("fname"),
-            dataset=b["dataset"][0] if b.get("dataset") else "unknown",
-            subset=b["subset"][0] if b.get("subset") else default_subset,
-            lprobs=np.asarray(lprobs),
-            preds=np.asarray(preds),
-            mpreds=mp,
-            mlprobs=np.asarray(mlprobs),
-            mcands=mcands,
-            losses=losses,
-        )
-
-    def run_test(model_name: str, params) -> dict[str, Any]:
-        scores: dict[str, Any] = {}
-        if dm.num_eval_loaders("test") > 0:
-            if not test_metrics:
-                test_metrics.append(
-                    AllMetrics(
-                        tokenizer=make_metric_tokenizer(),
-                        train_vocab=list(tokenizer.get_vocab()),
-                    )
-                )
-            evaluator = Evaluator(
-                run_dir, model_name=model_name, metrics=test_metrics[0]
-            )
-            for dl_idx in range(dm.num_eval_loaders("test")):
-                for j, b in enumerate(dm.eval_batches("test", dl_idx)):
-                    if lim_test is not None and j >= lim_test:
-                        break
-                    _decode_and_score_batch(
-                        evaluator, params, b, "test", with_losses=True
-                    )
-            scores = evaluator.compute_and_export()
-            for corpus, corpus_scores in scores.items():
-                logger.log_metrics(
-                    {
-                        f"test/{model_name}/{corpus}/{k}": v
-                        for k, v in corpus_scores.items()
-                    }
-                )
-        # predict pass: decode-and-export only (the reference calls
-        # trainer.predict after every trainer.test, train.py:303-343;
-        # predict corpora like clotho_test have no references — the
-        # artifacts are the outputs CSV + DCASE submission CSV)
-        if dm.num_eval_loaders("predict") > 0:
-            pred_eval = Evaluator(run_dir, model_name=model_name, score=False)
-            for dl_idx in range(dm.num_eval_loaders("predict")):
-                for b in dm.eval_batches("predict", dl_idx):
-                    _decode_and_score_batch(
-                        pred_eval, params, b, "predict", with_losses=False
-                    )
-            pred_eval.compute_and_export()
-        return scores
-
-
     # val_on_start (reference train.py:457-482: validate before fit, e.g.
     # after a warm-start resume)
     if cfg.get("val_on_start") and dm.num_eval_loaders("val") > 0:
-        start_metrics = run_validation(-1)
+        start_metrics = eval_runner.run_validation(state.params, -1)
         logger.log_metrics({f"start_{k}": v for k, v in start_metrics.items()})
         pylog.info(f"val_on_start: {start_metrics}")
 
@@ -679,7 +458,7 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         and dm.num_eval_loaders("test") > 0
         and is_main_process()
     ):
-        run_test("start", state.params)
+        eval_runner.run_test("start", state.params)
 
     # opt-in device tracing (reference conf/trainer/profiler group twin):
     # trainer=... trainer.profiler.name=jax writes a TensorBoard-loadable
@@ -691,104 +470,38 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         jax.profiler.start_trace(trace_dir)
         pylog.info(f"jax.profiler trace → {trace_dir}")
 
-    global_step = 0
-    fit_start = time.time()
-    last_train_loss = None
-    # trainer.max_steps (reference fit_test.yaml:28, PL semantics: -1 =
-    # unlimited; otherwise stop fitting after that many optimizer steps)
-    max_steps = int(tr_cfg.get("max_steps", -1) or -1)
-    from conette_tpu.data.prefetch import prefetch_iterator
+    from conette_tpu.train.loop import fit
 
-    for epoch in range(max_epochs):
-        if 0 <= max_steps <= global_step:
-            break
-        # background-thread prefetch overlaps HDF reads + collation with the
-        # async-dispatched device step (reference DataLoader-workers twin)
-        for i, b in enumerate(prefetch_iterator(dm.train_batches(epoch))):
-            if lim_train is not None and i >= lim_train:
-                break
-            if 0 <= max_steps <= global_step:
-                break
-            state, metrics = train_step(
-                state, shard_train_batch(to_train_batch(b, global_step)), rng
-            )
-            global_step += 1
-            if ema_decay:
-                from conette_tpu.train.optim import ema_update
-
-                ema_params = ema_update(ema_params, state.params, float(ema_decay))
-            # per-step lr/grad-norm logging, throttled to every N steps
-            # (reference LogLRCallback/LogGradNorm are per-step,
-            # callbacks/log.py:16-172; each log forces a host-device sync,
-            # so the cadence is configurable)
-            if global_step % log_every_n_steps == 0 or i == 0:
-                logger.log_metrics(
-                    {k: float(v) for k, v in metrics.items()}
-                    | {"epoch": epoch, "train/lr": float(lr_schedule(epoch))},
-                    step=global_step,
-                )
-            # keep the loss on device during the epoch: float() here would
-            # force a host sync every step and defeat async dispatch
-            last_train_loss = metrics["train/loss"]
-        if cfg.get("debug"):
-            import gc
-            import random as _random
-
-            pylog.debug(
-                f"epoch {epoch}: py_rng_state_csum="
-                f"{hash(_random.getstate()[1]) & 0xFFFFFFFF:08x} "
-                f"gc_objects={len(gc.get_objects())}"
-            )
-        # NaN guard (twin of the reference's check_finite EarlyStopping,
-        # train.py:188-194)
-        if last_train_loss is not None and not np.isfinite(float(last_train_loss)):
-            pylog.error(f"Non-finite train loss at epoch {epoch}; stopping early.")
-            break
-
-        # ---- SWA snapshot averaging from swa_start onwards
-        if swa_start is not None and epoch >= swa_start:
-            from conette_tpu.train.optim import swa_update
-
-            if swa_params is None:
-                swa_params, swa_n = state.params, 1
-            else:
-                swa_params = swa_update(swa_params, state.params, swa_n)
-                swa_n += 1
-
-        # ---- validation
-        if dm.num_eval_loaders("val") > 0 and (
-            epoch % int(tr_cfg.get("val_every_n_epochs", 1)) == 0
-        ):
-            val_metrics = run_validation(epoch)
-            logger.log_metrics(val_metrics | {"epoch": epoch}, step=global_step)
-            if plateau is not None and ckpt.monitor in val_metrics:
-                factor = plateau.step(float(val_metrics[ckpt.monitor]))
-                _set_injected_lr(state.opt_state, base_lr * factor)
-            # checkpoint the averaged weights when SWA/EMA are active
-            # (SWA wins: it subsumes EMA's smoothing role in the reference)
-            ckpt_params = (
-                swa_params if swa_params is not None
-                else (ema_params if ema_decay else state.params)
-            )
-            if not is_main_process():
-                continue  # host-0-only checkpoint writes (shared FS)
-            ckpt.step(
-                epoch, val_metrics,
-                ckpt_params,
-                opt_state=state.opt_state,
-                tokenizer=tokenizer,
-                extra_meta={
-                    "global_step": global_step,
-                    "model_cfg": {
-                        k: (list(v) if isinstance(v, tuple) else v)
-                        for k, v in model_cfg._asdict().items()
-                    },
-                },
-            )
-    fit_duration = time.time() - fit_start
+    fit_res = fit(
+        state=state,
+        rng=rng,
+        dm=dm,
+        train_step=train_step,
+        shard_train_batch=shard_train_batch,
+        to_train_batch=to_train_batch,
+        eval_runner=eval_runner,
+        ckpt=ckpt,
+        logger=logger,
+        tokenizer=tokenizer,
+        model_cfg=model_cfg,
+        lr_schedule=lr_schedule,
+        plateau=plateau,
+        base_lr=base_lr,
+        max_epochs=max_epochs,
+        # trainer.max_steps (reference fit_test.yaml:28, PL semantics: -1 =
+        # unlimited; otherwise stop fitting after that many optimizer steps)
+        max_steps=int(tr_cfg.get("max_steps", -1) or -1),
+        lim_train=lim_train,
+        val_every_n_epochs=int(tr_cfg.get("val_every_n_epochs", 1)),
+        log_every_n_steps=log_every_n_steps,
+        ema_decay=ema_decay,
+        swa_start=swa_start,
+        debug=bool(cfg.get("debug")),
+    )
+    state, swa_params = fit_res.state, fit_res.swa_params
     if profiler_on and is_main_process():
         jax.profiler.stop_trace()
-    logger.log_metrics({"fit_duration_s": fit_duration})
+    logger.log_metrics({"fit_duration_s": fit_res.fit_duration})
 
     # ------------------------------------------------------------ 5/6 test
     test_scores: dict[str, Any] = {}
@@ -855,8 +568,8 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
                 else:
                     pylog.error("Cannot find best checkpoint.")
 
-        for model_name, params in candidates:
-            test_by_model[model_name] = run_test(model_name, params)
+        for model_name, params_i in candidates:
+            test_by_model[model_name] = eval_runner.run_test(model_name, params_i)
         if test_by_model:
             test_scores = next(reversed(test_by_model.values()))
     elif dm.num_eval_loaders("predict") > 0 and is_main_process():
@@ -875,32 +588,17 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
             "test_by_model": {},
             "out": float(cfg.get("out_default", -1.0)),
         }
-    tokenizer.save_file(os.path.join(run_dir, "tokenizer.json"))
-    _save_vocab_csv(tokenizer, os.path.join(run_dir, "vocab.csv"))
-    logger.log_hyperparams(
-        {
-            "end_csum": csum_module(state.params),
-            "n_params": int(
-                sum(np.prod(p.shape) for p in jax.tree.leaves(state.params))
-            ),
-            "total_duration_s": round(time.time() - t_start, 1),
-            "best_monitor": ckpt.best_score,
-            "best_ckpt": ckpt.best_dir,
-        }
-    )
-    logger.finalize()
-    # sweep output criterion (reference train.py:515-521): return the
-    # logged metric named by out_crit, or out_default when absent/unset
-    out_crit = cfg.get("out_crit")
-    out_default = float(cfg.get("out_default", -1.0))
-    if out_crit is not None:
-        out = float(logger.metrics.get(str(out_crit), out_default))
-        pylog.info(f"Training is finished with {out_crit}={out}.")
-    else:
-        out = out_default
-    pylog.info(
-        f"Done: best {monitor}={ckpt.best_score} "
-        f"({time.time() - t_start:.0f}s, run dir {run_dir})"
+    from conette_tpu.train.artifacts import finalize_run
+
+    out = finalize_run(
+        cfg=cfg,
+        run_dir=run_dir,
+        logger=logger,
+        tokenizer=tokenizer,
+        params=state.params,
+        ckpt=ckpt,
+        monitor=monitor,
+        t_start=t_start,
     )
     return {
         "run_dir": run_dir,
@@ -909,83 +607,6 @@ def main_train(argv: Optional[list[str]] = None) -> dict[str, Any]:
         "test_by_model": test_by_model,
         "out": out,
     }
-
-
-def _set_injected_lr(opt_state, new_lr: float) -> None:
-    """Find the optax ``InjectHyperparamsState`` inside a (possibly chained)
-    optimizer state and overwrite its ``learning_rate`` hyperparam in place
-    (reduce-on-plateau host control)."""
-    if hasattr(opt_state, "hyperparams") and "learning_rate" in opt_state.hyperparams:
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(
-            new_lr, dtype=jnp.asarray(opt_state.hyperparams["learning_rate"]).dtype
-        )
-        return
-    if isinstance(opt_state, (tuple, list)):
-        for sub in opt_state:
-            _set_injected_lr(sub, new_lr)
-
-
-def _make_gen_fn(model_cfg, method: str = "generate"):
-    import jax
-    import jax.numpy as jnp
-
-    from conette_tpu.models.conette import (
-        encode_audio,
-        forward_generate,
-        forward_greedy,
-    )
-
-    @jax.jit
-    def gen(params, audio, lens, bos, forbid):
-        """→ (best_preds, best_avg_lprobs, all_beams, all_avg_lprobs) —
-        the full decode surface the reference logs per clip (the published
-        CSVs' preds/lprobs/mpreds/mlprobs columns); greedy is a 1-beam
-        view of the same contract."""
-        memory, pad_mask = encode_audio(params, model_cfg, audio, lens)
-        if method == "greedy":
-            g = forward_greedy(
-                params, model_cfg, memory, pad_mask, bos, forbid_rep_mask=forbid
-            )
-            lp = jax.nn.log_softmax(jnp.transpose(g.logits, (0, 2, 1)), axis=-1)
-            sel = jnp.take_along_axis(lp, g.preds[..., None], axis=-1)[..., 0]
-            valid = g.preds != model_cfg.pad_id
-            avg = jnp.sum(jnp.where(valid, sel, 0.0), axis=1) / jnp.maximum(
-                valid.sum(axis=1), 1
-            )
-            return g.preds, avg, g.preds[:, None], avg[:, None]
-        res = forward_generate(
-            params, model_cfg, memory, pad_mask, bos, forbid_rep_mask=forbid
-        )
-        return (
-            res.best_preds,
-            res.best_avg_lprobs,
-            res.global_preds,
-            res.global_avg_lprobs,
-        )
-
-    return gen
-
-
-def _decode_preds(tokenizer, eos_id: int, preds: np.ndarray) -> list[str]:
-    out = []
-    for row in preds:
-        toks = []
-        for t in row.tolist():
-            if t == eos_id:
-                break
-            toks.append(t)
-        out.append(tokenizer.decode_single(toks))
-    return out
-
-
-def _save_vocab_csv(tokenizer, fpath: str) -> None:
-    import csv
-
-    with open(fpath, "w", newline="") as f:
-        writer = csv.writer(f)
-        writer.writerow(["token", "id", "count"])
-        for token, count in tokenizer.get_vocab().items():
-            writer.writerow([token, tokenizer.token_to_id(token), count])
 
 
 if __name__ == "__main__":
