@@ -47,6 +47,13 @@ from conette_tpu.ops.frontend import DEFAULT_LOGMEL, LogMelConfig, logmel_spectr
 # outweigh the copy savings. Kept as a tested, reproducible design point.
 _PADDED_SEAMS = False
 
+# Route the LN+conv2x2s2 downsample seams through the fused Pallas kernel
+# (ops/pallas/downsample.py) when the fused-block path already has the
+# activation in the stage-padded layout: one HBM read + write per seam
+# instead of ~4 passes + the slice/re-pad copies (r4, in-trace A/B in
+# PROFILE.md).
+_FUSED_SEAMS = True
+
 DEPTHS = (3, 3, 9, 3)
 DIMS = (96, 192, 384, 768)
 NUM_AUDIOSET_CLASSES = 527
@@ -111,25 +118,16 @@ def convnext_block(
     drop_path_rate: float = 0.0,
     deterministic: bool = True,
     rng: jax.Array | None = None,
-    fused_dwconv_ln: bool = False,
 ) -> jax.Array:
     """dwconv7x7 → LN → pwconv(4x) → GELU → pwconv → layer-scale → residual
     (parity: ``convnext.py:61-74``). Runs in NHWC; the pointwise convs are
-    MXU matmuls over the channel axis. ``fused_dwconv_ln`` routes the
-    bandwidth-bound dwconv+LN prefix through the Pallas kernel
-    (``ops/pallas/dwconv_ln.py``) — one HBM round trip instead of ~5."""
+    MXU matmuls over the channel axis. The XLA lowering of this path is the
+    reference-precision route; the bf16 inference fast path is the fully
+    fused Pallas kernel (``ops/pallas/convnext_block.py``)."""
     shortcut = x
     dim = x.shape[-1]
-    if fused_dwconv_ln:
-        from conette_tpu.ops.pallas.dwconv_ln import fused_dwconv7x7_ln
-
-        y = fused_dwconv7x7_ln(
-            x, params["dwconv"]["weight"], params["dwconv"]["bias"],
-            params["norm"]["weight"], params["norm"]["bias"], eps=LN_EPS,
-        )
-    else:
-        y = conv2d(params["dwconv"], x, padding=((3, 3), (3, 3)), groups=dim)
-        y = layer_norm(params["norm"], y, eps=LN_EPS)
+    y = conv2d(params["dwconv"], x, padding=((3, 3), (3, 3)), groups=dim)
+    y = layer_norm(params["norm"], y, eps=LN_EPS)
     y = linear(params["pwconv1"], y)
     y = gelu(y)
     y = linear(params["pwconv2"], y)
@@ -255,7 +253,6 @@ def convnext_features(
     deterministic: bool = True,
     drop_path_rate: float = 0.0,
     rng: jax.Array | None = None,
-    fused_dwconv_ln: bool = False,
     fused_block: bool = False,
     fused_interpret: bool = False,
 ) -> jax.Array:
@@ -284,14 +281,46 @@ def convnext_features(
     for i, stage in enumerate(params["stages"]):
         if i > 0:
             ds = params["downsample"][i - 1]
-            if padded and _PADDED_SEAMS:
-                y, f_real, c_real = _padded_downsample(ds, y, f_real, c_real)
-            else:
-                if padded:
-                    y = y[:, :, :f_real, :c_real]
-                    padded = False
-                y = layer_norm(ds["norm"], y, eps=LN_EPS)
-                y = conv2d(ds["conv"], y, stride=(2, 2))
+            fused_seam = False
+            if padded and _FUSED_SEAMS and not _PADDED_SEAMS:
+                from conette_tpu.ops.pallas.downsample import (
+                    _round128,
+                    fused_downsample_padded,
+                    plan_downsample,
+                )
+
+                c2 = ds["conv"]["weight"].shape[-1]
+                fused_seam = (
+                    f_real % 2 == 0
+                    and y.shape[1] >= 2
+                    and plan_downsample(
+                        y.shape[1] // 2,
+                        y.shape[2],
+                        y.shape[3],
+                        _round128(c2),
+                        jnp.dtype(y.dtype).itemsize,
+                    )
+                    is not None
+                )
+                if fused_seam:
+                    y = fused_downsample_padded(
+                        y, f_real, c_real,
+                        ds["norm"]["weight"], ds["norm"]["bias"],
+                        ds["conv"]["weight"], ds["conv"]["bias"],
+                        eps=LN_EPS,
+                        interpret=fused_interpret,
+                    )
+                    f_real //= 2
+                    c_real = c2
+            if not fused_seam:
+                if padded and _PADDED_SEAMS:
+                    y, f_real, c_real = _padded_downsample(ds, y, f_real, c_real)
+                else:
+                    if padded:
+                        y = y[:, :, :f_real, :c_real]
+                        padded = False
+                    y = layer_norm(ds["norm"], y, eps=LN_EPS)
+                    y = conv2d(ds["conv"], y, stride=(2, 2))
 
         real_shape = (
             (y.shape[0], y.shape[1], f_real, c_real) if padded else y.shape
@@ -341,7 +370,6 @@ def convnext_features(
                 drop_path_rate=dp,
                 deterministic=deterministic,
                 rng=brng,
-                fused_dwconv_ln=fused_dwconv_ln,
             )
             block_idx += 1
     if padded:
@@ -364,7 +392,6 @@ def convnext_apply(
     compute_dtype: jnp.dtype = jnp.float32,
     spec_augment_fn: Any = None,
     use_fused_frontend: bool | None = None,
-    use_fused_dwconv_ln: bool | None = None,
     use_fused_block: bool | None = None,
     fused_interpret: bool = False,
 ) -> dict[str, jax.Array]:
@@ -418,11 +445,6 @@ def convnext_apply(
 
     x = mel[..., None].astype(compute_dtype)
 
-    if use_fused_dwconv_ln is None:
-        # Default OFF: superseded by the fully-fused block kernel below
-        # (the dwconv+LN-only kernel loses end-to-end on v5e: pad/unpad
-        # passes + unpipelined per-tile DMA). Golden-tested, opt-in.
-        use_fused_dwconv_ln = False
     if use_fused_block is None:
         # Default ON for bf16 TPU inference: the fully-fused ConvNeXt block
         # Pallas kernel (dwconv+LN+MLP+residual in one VMEM pass,
@@ -448,7 +470,6 @@ def convnext_apply(
         deterministic=deterministic,
         drop_path_rate=drop_path_rate,
         rng=rng,
-        fused_dwconv_ln=use_fused_dwconv_ln,
         fused_block=use_fused_block,
         fused_interpret=fused_interpret,
     )

@@ -39,6 +39,16 @@ as ``models/layers.py::linear``/``layer_norm``).
 
 Inference-only (the ConvNeXt preprocessor is frozen in this stack; training
 consumes pre-encoded embeddings -- SURVEY.md L2/L5), so no VJP is defined.
+
+History: a dwconv7x7+LN-only predecessor kernel (``ops/pallas/dwconv_ln.py``,
+removed in r4) validated to bf16 rounding but LOST end-to-end (+80 ms at
+batch 128): fusing only the block prefix still leaves the 4C MLP
+intermediate making two HBM round trips, and its per-call alignment
+pre-pad/unpad plus unpipelined per-tile DMA cost more than the saved LN
+passes. The lessons that survived into this kernel: (1) fuse the WHOLE
+block so the 4C intermediate never leaves VMEM; (2) keep the stage-padded
+(F->8k, C->128k) layout across chained blocks instead of padding per call;
+(3) double-buffer the halo DMA behind compute. See PROFILE.md r2/r3.
 """
 
 from __future__ import annotations

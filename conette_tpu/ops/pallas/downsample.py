@@ -1,0 +1,250 @@
+"""Fused ConvNeXt downsample-seam Pallas TPU kernel (LN + 2x2/s2 conv).
+
+Between stages the reference applies ``LayerNorm(C)`` then
+``Conv2d(C, 2C, kernel=2, stride=2)`` (``nn/encoders/convnext.py:203-236``).
+Lowered separately on TPU that seam costs ~4 HBM passes over the previous
+stage's full activation (LN read+write, conv read, out write) plus — on the
+fused-block fast path — a slice-out-of-padded-layout copy before and a
+re-pad copy after (``models/convnext.py::convnext_features``). At batch 128
+the r3 trace put stem+downsamples+heads at ~14 ms of the ~164 ms device
+budget (PROFILE.md).
+
+This kernel consumes the stage-padded layout the fused blocks chain in
+(F→8k, C→128k, zero padding) directly and emits the next stage's padded
+input, all in ONE pass per (batch, out-time-tile) program:
+
+    HBM --(double-buffered DMA of 2*t_tile input rows)--> VMEM
+      -> LayerNorm over real channels (padded lanes are exactly zero, so
+         full-lane sums / c_real give the real stats; zero-padded gamma
+         re-zeroes padded lanes)
+      -> 4 patch matmuls (i,j in {0,1}^2) @ W_ij on the MXU, f32
+         accumulation, + bias
+      -> zero padded output freq columns -> HBM (one write)
+
+So HBM traffic per seam drops from ~4 passes + 2 layout copies to
+1 read + 1 write, and the pad/unpad copies disappear entirely.
+
+Mosaic permits only stride-1 vector slices, so the 2x2/s2 patch access is
+restructured into aligned operations: the caller bit-reshapes the padded
+input to ``(B, T/2, 2, F/2, 2*Cp)`` (row-major compatible — free), which
+turns the freq parity into a 128-aligned LANE split (``Cp % 128 == 0``)
+and the time parity into a major-dim index. No strided slice anywhere.
+
+Odd input T is handled like the conv (floor): the last input row feeds
+nothing. Inference-only, like the block kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from conette_tpu.ops.pallas.convnext_block import pad_channels
+
+
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _round128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def plan_downsample(
+    t2: int, f_pad: int, cp: int, c2p: int, itemsize: int
+) -> int | None:
+    """Pick the output-time tile (a divisor of ``t2``) whose buffers fit
+    the VMEM budget; None when even the smallest divisor does not fit."""
+    f2 = f_pad // 2
+    if f2 == 0:
+        return None
+    for tile in [t2] + [d for d in range(min(t2 - 1, 128), 7, -1) if t2 % d == 0]:
+        if tile > 128:
+            continue
+        resident = (
+            itemsize * 2 * (2 * tile * f_pad * cp)  # double-buffered DMA slots
+            + 4 * 2 * (2 * tile * f2 * cp)  # f32 LN halves (values)
+            + itemsize * 4 * cp * c2p  # conv weights
+            + 4 * tile * f2 * c2p  # f32 matmul accumulator
+            + itemsize * tile * _round8(f2) * c2p  # out block
+        )
+        if resident < 13 * 1024 * 1024:
+            return tile
+    return None
+
+
+def _fused_downsample_kernel(
+    x_hbm_ref,  # (B, T2, 2, F2, 2*Cp) HBM (bit-reshaped stage-padded layout)
+    g_ref,  # (1, Cp) f32 LN gamma (zero-padded)
+    beta_ref,  # (1, Cp) f32 LN beta (zero-padded)
+    w_ref,  # (4, Cp, C2p) compute-dtype conv weights, patch-major (i*2+j)
+    b_ref,  # (1, C2p) f32 conv bias (zero-padded)
+    out_ref,  # (1, t_tile, F2p, C2p) VMEM out block
+    have_ref,  # scratch (2, t_tile, 2, F2, 2*Cp) double-buffered DMA landing
+    dma_sems,  # (2,) DMA semaphores
+    *,
+    t_tile: int,
+    n_t: int,
+    c_real: int,
+    f2_real: int,
+    eps: float,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    step = b * n_t + j
+    slot = step % 2
+
+    def dma(bb, jj, s):
+        return pltpu.make_async_copy(
+            x_hbm_ref.at[bb, pl.ds(jj * t_tile, t_tile)],
+            have_ref.at[s],
+            dma_sems.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma(b, j, slot).start()
+
+    @pl.when(step + 1 < n_b * n_t)
+    def _():
+        nb = b + (j + 1) // n_t
+        nj = (j + 1) % n_t
+        dma(nb, nj, (step + 1) % 2).start()
+
+    dma(b, j, slot).wait()
+
+    cp = g_ref.shape[1]
+    cdt = w_ref.dtype
+    inv_c = 1.0 / c_real
+
+    # ---- per-freq-parity LayerNorm + patch matmuls. The freq parity j is
+    # a 128-aligned lane split of the reshaped layout; the time parity i is
+    # an index on a major dim. Padded C lanes are exactly zero so full-lane
+    # sums / c_real equal the real-lane stats; the zero-padded gamma
+    # re-zeroes those lanes after the affine. Padded F columns produce
+    # `beta` values that only feed the padded output freq columns, which
+    # are re-zeroed at the write below.
+    acc = None
+    for jj in range(2):
+        xj = have_ref[slot][..., jj * cp : (jj + 1) * cp].astype(jnp.float32)
+        mean = jnp.sum(xj, axis=-1, keepdims=True) * inv_c
+        sumsq = jnp.sum(xj * xj, axis=-1, keepdims=True) * inv_c
+        var = sumsq - mean * mean
+        yn = ((xj - mean) * jax.lax.rsqrt(var + eps) * g_ref[0] + beta_ref[0]).astype(
+            cdt
+        )  # (t_tile, 2, F2, Cp)
+        for i in range(2):
+            term = jax.lax.dot_general(
+                yn[:, i],
+                w_ref[i * 2 + jj],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = term if acc is None else acc + term
+    z = (acc + b_ref[0]).astype(out_ref.dtype)
+
+    f2p = out_ref.shape[2]
+    if f2_real < f2p:
+        zero = jnp.zeros((t_tile, f2p - f2_real, out_ref.shape[3]), out_ref.dtype)
+        out_ref[0, :, f2_real:, :] = zero
+    out_ref[0, :, :f2_real, :] = z[:, :f2_real, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("f_real", "c_real", "eps", "interpret", "_tile"),
+)
+def fused_downsample_padded(
+    x: jax.Array,
+    f_real: int,
+    c_real: int,
+    ln_weight: jax.Array,
+    ln_bias: jax.Array,
+    conv_weight: jax.Array,
+    conv_bias: jax.Array,
+    eps: float = 1e-6,
+    interpret: bool = False,
+    _tile: int | None = None,
+) -> jax.Array:
+    """LN + Conv2d(k=2, s=2) over a stage-padded (B, T, Fp, Cp) input.
+
+    :param conv_weight: (2, 2, C, C2) HWIO.
+    :returns: (B, T//2, round8(f_real//2), round128(C2)) in the stage-padded
+        layout (zero padding beyond ``f_real//2`` / ``C2``), dtype of ``x``.
+    """
+    b, t, f_pad, cp = x.shape
+    if f_pad % 8 or cp % 128:
+        raise ValueError(f"stage-padded input required, got F={f_pad} C={cp}")
+    if f_real % 2:
+        raise ValueError(f"odd real freq extent {f_real} unsupported")
+    c2 = conv_weight.shape[-1]
+    c2p = _round128(c2)
+    t2 = t // 2
+    f2 = f_pad // 2
+    f2_real = f_real // 2
+    f2p = _round8(f2_real)
+    cdt = x.dtype
+    tile = _tile or plan_downsample(t2, f_pad, cp, c2p, jnp.dtype(cdt).itemsize)
+    if tile is None:
+        raise ValueError(
+            f"fused downsample does not fit VMEM for T={t} F={f_pad} C={cp} "
+            f"C2={c2p} dtype={cdt} (use the XLA path)"
+        )
+    n_t = t2 // tile
+
+    # bit-reshape (free, row-major compatible): freq parity -> an aligned
+    # lane split, time parity -> a major dim
+    x_r = x[:, : 2 * t2].reshape(b, t2, 2, f2, 2 * cp)
+
+    # patch-major (i*2+j, Cp, C2p), channel-padded with zeros
+    w = conv_weight.reshape(4, conv_weight.shape[2], c2)
+    w = pad_channels(pad_channels(w.astype(cdt), cp, axis=1), c2p, axis=2)
+
+    kernel = functools.partial(
+        _fused_downsample_kernel,
+        t_tile=tile,
+        n_t=n_t,
+        c_real=c_real,
+        f2_real=f2_real,
+        eps=eps,
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # manual DMA
+            full((1, cp)),
+            full((1, cp)),
+            full((4, cp, c2p)),
+            full((1, c2p)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, f2p, c2p), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t2, f2p, c2p), cdt),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile, 2, f2, 2 * cp), cdt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t2 * f2_real * 4 * c_real * c2 + 8 * b * t * f_real * c_real,
+            bytes_accessed=(b * t * f_pad * cp + b * t2 * f2p * c2p)
+            * jnp.dtype(cdt).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x_r,
+        pad_channels(ln_weight.reshape(1, -1).astype(jnp.float32), cp),
+        pad_channels(ln_bias.reshape(1, -1).astype(jnp.float32), cp),
+        w,
+        pad_channels(conv_bias.reshape(1, -1).astype(jnp.float32), c2p),
+    )

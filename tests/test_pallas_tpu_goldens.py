@@ -62,27 +62,32 @@ def test_fused_block_compiled_matches_unfused(shape):
     assert _rel_err(want, got) < 0.02
 
 
-def test_fused_dwconv_ln_compiled():
+@pytest.mark.parametrize("t,f,c", [(20, 56, 96), (16, 28, 192), (15, 14, 384)])
+def test_fused_downsample_compiled(t, f, c):
+    """Mosaic-lowered LN+conv2x2s2 seam kernel vs the unfused XLA ops (the
+    interpret twin lives in test_pallas_downsample.py)."""
     from conette_tpu.models.layers import (
         conv2d,
         conv2d_init,
         layer_norm,
         layer_norm_init,
     )
-    from conette_tpu.ops.pallas.dwconv_ln import fused_dwconv7x7_ln
+    from conette_tpu.ops.pallas.convnext_block import pad_fc
+    from conette_tpu.ops.pallas.downsample import fused_downsample_padded
 
-    rng = np.random.default_rng(0)
-    t, f, c = 16, 14, 96
-    x = jnp.asarray(rng.standard_normal((2, t, f, c)).astype(np.float32) * 0.5)
-    p = conv2d_init(jax.random.PRNGKey(1), c, c, (7, 7), groups=c, init="torch")
+    key = jax.random.PRNGKey(t + c)
     ln = layer_norm_init(c)
-    want = layer_norm(
-        ln, conv2d(p, x, padding=((3, 3), (3, 3)), groups=c), eps=1e-6
-    )
-    got = fused_dwconv7x7_ln(
-        x, p["weight"], p["bias"], ln["weight"], ln["bias"], eps=1e-6
-    )
-    assert _rel_err(want, got) < 5e-3
+    conv = conv2d_init(jax.random.fold_in(key, 2), c, 2 * c, (2, 2), init="torch")
+    x = (
+        jax.random.normal(jax.random.fold_in(key, 3), (2, t, f, c)) * 0.5
+    ).astype(jnp.bfloat16)
+    want = conv2d(conv, layer_norm(ln, x, eps=1e-6), stride=(2, 2))
+    got = fused_downsample_padded(
+        pad_fc(x), f, c,
+        ln["weight"], ln["bias"], conv["weight"], conv["bias"],
+        eps=1e-6, interpret=False,
+    )[:, :, : f // 2, : 2 * c]
+    assert _rel_err(want, got) < 2e-2
 
 
 def test_fused_logmel_compiled():
