@@ -60,11 +60,16 @@ def build_caption_fn(model: Any, beam_size: int | None = None,
         max_pred_size if max_pred_size is not None
         else model.config.max_pred_size
     )
-    enc_params = model.encoder_params
-    dec_params = model.params
+    # a `from_pretrained` model may hold plain numpy leaves; as closure
+    # CONSTANTS they must be jax arrays (a numpy array indexed by a tracer
+    # inside the traced fn raises TracerArrayConversionError)
+    enc_params = jax.tree.map(jnp.asarray, model.encoder_params)
+    dec_params = jax.tree.map(jnp.asarray, model.params)
     forbid = model.forbid_rep_mask
     if forbid is None:
         forbid = jnp.zeros((cfg.vocab_size,), bool)
+    else:
+        forbid = jnp.asarray(forbid)
     compute_dtype = model.preprocessor.compute_dtype
 
     def fn(wav, lens, bos_ids):
@@ -210,13 +215,15 @@ class ExportedCaptioner:
             os.path.join(art_dir, "tokenizer.json")
         )
 
-    def __call__(
+    def prepare_batch(
         self,
         wavs: Sequence[np.ndarray] | np.ndarray,
         task: str | Sequence[str] | None = None,
-    ) -> list[str]:
-        import jax.numpy as jnp
-
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pad/crop float32 waveforms to the exported (batch, samples)
+        bucket and map task names to BOS ids — the exact arrays the
+        exported program consumes (also used by the baseline gate to drive
+        the LIVE model at identical shapes)."""
         b, s = self.meta["batch_size"], self.meta["n_samples"]
         wav_list = [np.asarray(w, np.float32).reshape(-1) for w in wavs]
         if len(wav_list) > b:
@@ -239,14 +246,13 @@ class ExportedCaptioner:
             batch[i, :n] = w[:n]
             lens[i] = n
             bos[i] = bos_map[tasks[i]]
+        return batch, lens, bos
 
-        preds, _, _, _, _ = self._exp.call(
-            jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(bos)
-        )
-        preds = np.asarray(preds)[: len(wav_list)]
+    def decode_tokens(self, preds: np.ndarray) -> list[str]:
+        """EOS-truncate + detokenize a (N, L) id matrix."""
         eos = self.meta["eos_id"]
         out = []
-        for row in preds:
+        for row in np.asarray(preds):
             toks = []
             for t in row.tolist():
                 if t == eos:
@@ -254,3 +260,16 @@ class ExportedCaptioner:
                 toks.append(t)
             out.append(self.tokenizer.decode_single(toks))
         return out
+
+    def __call__(
+        self,
+        wavs: Sequence[np.ndarray] | np.ndarray,
+        task: str | Sequence[str] | None = None,
+    ) -> list[str]:
+        import jax.numpy as jnp
+
+        batch, lens, bos = self.prepare_batch(wavs, task)
+        preds, _, _, _, _ = self._exp.call(
+            jnp.asarray(batch), jnp.asarray(lens), jnp.asarray(bos)
+        )
+        return self.decode_tokens(np.asarray(preds)[: len(wavs)])

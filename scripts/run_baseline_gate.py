@@ -35,6 +35,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# sitecustomize pins JAX_PLATFORMS=axon before any script code runs, so an
+# operator's `JAX_PLATFORMS=cpu` env would silently be ignored (the config
+# must be updated before the first device query) — honor it here.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def run_gate(model, fixture_rows, audio_dir: str, published: dict | None,
              batch_size: int = 16) -> dict:
@@ -109,6 +117,52 @@ def run_gate(model, fixture_rows, audio_dir: str, published: dict | None,
     return report
 
 
+def check_export(model, paths: list[str], batch_size: int,
+                 clip_seconds: float,
+                 sample_limit: int | None = None) -> dict:
+    """AOT-export half of the gate (VERDICT r3 next #6): export the
+    weights through ``conette_tpu/export.py`` (StableHLO, weights inlined),
+    replay the fixture clips through ``ExportedCaptioner``, and compare
+    against the LIVE model driven at the SAME padded shapes (the caption
+    pipeline's ``frame_embs_lens`` uses the reference's pad-dependent
+    ``reduction_factor = padded_len // n_out`` — reference
+    ``convnext.py:309-315`` — so only same-shape comparisons isolate
+    serialization fidelity from legitimate bucketing variance)."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from conette_tpu.export import (
+        ExportedCaptioner,
+        build_caption_fn,
+        save_exported,
+    )
+
+    if sample_limit is not None:
+        paths = paths[:sample_limit]
+    live_fn = jax.jit(build_caption_fn(model)[0])
+    with tempfile.TemporaryDirectory() as d:
+        art = os.path.join(d, "artifact")
+        save_exported(
+            model, art, batch_size=batch_size, clip_seconds=clip_seconds
+        )
+        captioner = ExportedCaptioner(art)
+        n_eq = 0
+        for i in range(0, len(paths), batch_size):
+            chunk = paths[i:i + batch_size]
+            wavs = []
+            for p in chunk:
+                w, wl = model.preprocessor.load_resample(p)
+                wavs.append(w[0, : int(wl[0])])
+            got = captioner(wavs)
+            batch, lens, bos = captioner.prepare_batch(wavs)
+            live_preds = np.asarray(live_fn(batch, lens, bos)[0])[: len(wavs)]
+            want = captioner.decode_tokens(live_preds)
+            n_eq += sum(g == w_ for g, w_ in zip(got, want))
+    return {"clips": len(paths), "export_match": n_eq / max(len(paths), 1)}
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--snapshot", help="HF snapshot / native checkpoint dir")
@@ -118,6 +172,12 @@ def main() -> int:
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--rehearse", action="store_true",
                         help="weight-free machinery dry run")
+    parser.add_argument("--no-export-check", action="store_true",
+                        help="skip the AOT-export replay half of the gate")
+    parser.add_argument("--export-clips", type=int, default=64,
+                        help="fixture clips replayed through the exported "
+                             "artifact (the full corpus adds little: the "
+                             "program is identical per clip)")
     args = parser.parse_args()
 
     from conette_tpu.huggingface.model import CoNeTTEModel
@@ -141,6 +201,22 @@ def main() -> int:
         ok &= report["max_absdiff"] <= 1e-3
     if "spider" in report["scores"] and "spider" in (report.get("published") or {}):
         ok &= abs(report["scores"]["spider"] - report["published"]["spider"]) <= 1e-3
+
+    if not args.no_export_check:
+        paths = [
+            os.path.join(args.audio_dir, row.fname)
+            for row in rows
+            if os.path.isfile(os.path.join(args.audio_dir, row.fname))
+        ]
+        # clotho clips run up to 30 s — export the top serving bucket
+        exp_report = check_export(
+            model, paths, args.batch_size,
+            clip_seconds=30.0, sample_limit=args.export_clips,
+        )
+        print(f"export replay match: {exp_report['export_match']:.2%} "
+              f"({exp_report['clips']} clips)")
+        ok &= exp_report["export_match"] == 1.0
+
     print("GATE:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
@@ -202,7 +278,16 @@ def _rehearse(args) -> int:
         _print_report(report)
         assert report["token_bitmatch"] == 1.0, report
         assert report["string_match"] == 1.0, report
-    print("REHEARSAL: PASS (gate machinery reproduces its own outputs 100%)")
+
+        if not args.no_export_check:
+            exp_report = check_export(
+                model, paths, batch_size=5, clip_seconds=2.0,
+            )
+            print(f"export replay match: {exp_report['export_match']:.2%} "
+                  f"({exp_report['clips']} clips)")
+            assert exp_report["export_match"] == 1.0, exp_report
+    print("REHEARSAL: PASS (gate machinery reproduces its own outputs 100%,"
+          " incl. the AOT-export replay)")
     return 0
 
 

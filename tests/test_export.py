@@ -110,3 +110,23 @@ def test_exported_default_task_and_crop(model, art_dir):
     wav = np.random.default_rng(1).standard_normal(50_000).astype(np.float32)
     out = cap([wav])
     assert isinstance(out[0], str)
+
+
+def test_export_after_pretrained_roundtrip(model, tmp_path):
+    """A ``from_pretrained`` model holds plain numpy param leaves; export
+    must still trace (numpy closure constants indexed by tracers raise
+    TracerArrayConversionError — regression from the r4 gate rehearsal)."""
+    from conette_tpu.export import ExportedCaptioner, save_exported
+    from conette_tpu.huggingface.model import CoNeTTEModel
+
+    ck = str(tmp_path / "ckpt")
+    model.save_pretrained(ck)
+    reloaded = CoNeTTEModel.from_pretrained(ck)
+    d = str(tmp_path / "export")
+    save_exported(reloaded, d, batch_size=2, clip_seconds=1.0)
+
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal(32_000).astype(np.float32) * 0.1
+    got = ExportedCaptioner(d)([wav])
+    live = reloaded([wav])
+    assert got[0] == live.cands[0]
