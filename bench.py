@@ -242,9 +242,13 @@ def bench_cpu_torch() -> float:
 
 
 def _probe_device(
-    attempts: int = int(os.environ.get("CONETTE_BENCH_PROBE_ATTEMPTS", 5)),
+    # r4: the observed stall windows run tens of minutes (PROFILE.md "chip
+    # reality"); the default envelope now waits ~25 min before giving up so
+    # an unattended (driver) run rides out a typical stall instead of
+    # recording rc=1 moments before the tunnel returns
+    attempts: int = int(os.environ.get("CONETTE_BENCH_PROBE_ATTEMPTS", 15)),
     timeout_s: int = int(os.environ.get("CONETTE_BENCH_PROBE_TIMEOUT", 60)),
-    backoff_s: int = int(os.environ.get("CONETTE_BENCH_PROBE_BACKOFF", 30)),
+    backoff_s: int = int(os.environ.get("CONETTE_BENCH_PROBE_BACKOFF", 45)),
 ) -> bool:
     """The tunneled chip intermittently stalls WHOLE dispatches (observed:
     even an 8x8 sum never returns, for minutes at a stretch). A hung PJRT
