@@ -270,14 +270,29 @@ def _probe_device(
             )
             if r.returncode == 0 and b"64.0" in r.stdout:
                 return True
-            # a fast non-zero exit is NOT a stall — surface the real error
-            # (broken install, bad flags) instead of retrying blindly
+            stderr = r.stderr.decode(errors="replace")
+            # the tunnel also fails TRANSIENTLY with fast backend errors
+            # (observed: FAILED_PRECONDITION on a plain 8x8 fetch while the
+            # relay recovers) — retry those like a stall; only a genuinely
+            # broken install (import errors, bad flags) aborts immediately
+            transient = any(
+                pat in stderr
+                for pat in (
+                    "TPU backend error",
+                    "FAILED_PRECONDITION",
+                    "DEADLINE_EXCEEDED",
+                    "UNAVAILABLE",
+                    "INTERNAL",
+                )
+            )
             print(
-                f"device probe exited rc={r.returncode}:\n"
-                f"{r.stderr.decode(errors='replace')[-2000:]}",
+                f"device probe exited rc={r.returncode}"
+                + (" (transient backend error; retrying)" if transient else "")
+                + f":\n{stderr[-2000:]}",
                 file=sys.stderr,
             )
-            return False
+            if not transient:
+                return False
         except subprocess.TimeoutExpired:
             pass
         if i + 1 < attempts:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from conette_tpu.ops.mel import mel_filterbank
-from conette_tpu.ops.stft import dft_basis, frame_signal
+from conette_tpu.ops.stft import power_spectrogram
 
 __all__ = ["LogMelConfig", "logmel_spectrogram", "DEFAULT_LOGMEL"]
 
@@ -82,12 +82,9 @@ def logmel_spectrogram(
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """(B, T) waveform → (B, n_frames, n_mels) log-mel spectrogram."""
-    n_freqs = cfg.n_fft // 2 + 1
-    frames = frame_signal(x, cfg.n_fft, cfg.hop_length).astype(compute_dtype)
-    basis = jnp.asarray(dft_basis(cfg.n_fft), dtype=compute_dtype)
-    spec = jnp.einsum("btn,nf->btf", frames, basis, preferred_element_type=jnp.float32)
-    real, imag = spec[..., :n_freqs], spec[..., n_freqs:]
-    power = real * real + imag * imag
+    power = power_spectrogram(
+        x, cfg.n_fft, cfg.hop_length, compute_dtype=compute_dtype
+    )
     fb = jnp.asarray(_mel_matrix(cfg), dtype=power.dtype)
     mel = jnp.einsum("btf,fm->btm", power, fb, preferred_element_type=jnp.float32)
     log_mel = 10.0 * jnp.log10(jnp.maximum(cfg.amin, mel))
