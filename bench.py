@@ -327,7 +327,22 @@ def main() -> int:
         with open(CACHE_FILE, "w") as f:
             json.dump({"clips_per_sec": cpu_cps}, f)
 
-    tpu_cps = bench_tpu()
+    try:
+        tpu_cps = bench_tpu()
+    except Exception as e:  # noqa: BLE001 — never lose the bench artifact
+        # A freshly-landed Pallas kernel can fail Mosaic compile on the real
+        # chip before any tunnel window existed to validate it (interpret
+        # mode does not enforce tiling/alignment). Fall back to the XLA seam
+        # path rather than returning rc=1 for the round.
+        print(
+            f"bench pipeline failed ({type(e).__name__}); retrying with "
+            "fused seams disabled:\n" + str(e)[-2000:],
+            file=sys.stderr,
+        )
+        import conette_tpu.models.convnext as _cv
+
+        _cv._FUSED_SEAMS = False
+        tpu_cps = bench_tpu()
     print(
         json.dumps(
             {

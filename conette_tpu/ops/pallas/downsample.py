@@ -18,20 +18,34 @@ input, all in ONE pass per (batch, out-time-tile) program:
          full-lane sums / c_real give the real stats; zero-padded gamma
          re-zeroes padded lanes)
       -> 4 patch matmuls (i,j in {0,1}^2) @ W_ij on the MXU, f32
-         accumulation, + bias
-      -> zero padded output freq columns -> HBM (one write)
+         accumulation, + bias, x row mask
+      -> HBM (one write)
 
 So HBM traffic per seam drops from ~4 passes + 2 layout copies to
 1 read + 1 write, and the pad/unpad copies disappear entirely.
 
-Mosaic permits only stride-1 vector slices, so the 2x2/s2 patch access is
-restructured into aligned operations: the caller bit-reshapes the padded
-input to ``(B, T/2, 2, F/2, 2*Cp)`` (row-major compatible — free), which
-turns the freq parity into a 128-aligned LANE split (``Cp % 128 == 0``)
-and the time parity into a major-dim index. No strided slice anywhere.
+Mosaic imposes two access-pattern rules that shape the design (the first
+revision of this kernel violated them and failed to compile on hardware):
+HBM DMA slices must keep the second-minor (sublane) extent 8-aligned, and
+vector slices must be stride-1. So:
+
+- The input keeps its NATIVE (B, T, Fp, Cp) layout — Fp is stage-padded and
+  therefore always 8-aligned, so slicing only (batch, time) majors for the
+  DMA is legal. (The first revision bit-reshaped freq pairs into lanes,
+  which put F/2 — 28 for the stage1→2 seam — in sublanes and could not be
+  DMA-sliced at all.)
+- The TIME parity of the 2x2 patch is a free major-dim split of the loaded
+  value: (2*t_tile, Fp, Cp) → (t_tile, 2, Fp, Cp), then an index on dim 1.
+- The FREQ parity is a one-hot SELECTION MATMUL on the MXU: S_j (F2p, Fp)
+  with S_j[g, 2g+j] = 1 for g < f2_real, applied as a t-batched
+  dot_general. Rows g ≥ f2_real are all-zero, so the padded output freq
+  rows come out zero for free; the conv bias is masked to real rows. The
+  selection FLOPs are ≤ a third of the seam's own conv matmul FLOPs, and
+  the seam is HBM-bound, not MXU-bound.
 
 Odd input T is handled like the conv (floor): the last input row feeds
-nothing. Inference-only, like the block kernel.
+nothing (the DMA simply never reads it). Inference-only, like the block
+kernel.
 """
 
 from __future__ import annotations
@@ -40,6 +54,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -59,18 +74,20 @@ def plan_downsample(
 ) -> int | None:
     """Pick the output-time tile (a divisor of ``t2``) whose buffers fit
     the VMEM budget; None when even the smallest divisor does not fit."""
-    f2 = f_pad // 2
-    if f2 == 0:
+    f2p = _round8(f_pad // 2) if f_pad >= 2 else 0
+    if f2p == 0:
         return None
     for tile in [t2] + [d for d in range(min(t2 - 1, 128), 7, -1) if t2 % d == 0]:
         if tile > 128:
             continue
         resident = (
             itemsize * 2 * (2 * tile * f_pad * cp)  # double-buffered DMA slots
-            + 4 * 2 * (2 * tile * f2 * cp)  # f32 LN halves (values)
+            + 4 * 2 * (tile * f_pad * cp)  # f32 LN values (x, x·x reuse)
+            + itemsize * 2 * (tile * f2p * f_pad)  # broadcast selection mats
+            + itemsize * (tile * f2p * cp)  # selected rows
             + itemsize * 4 * cp * c2p  # conv weights
-            + 4 * tile * f2 * c2p  # f32 matmul accumulator
-            + itemsize * tile * _round8(f2) * c2p  # out block
+            + 4 * tile * f2p * c2p  # f32 matmul accumulator
+            + itemsize * tile * f2p * c2p  # out block
         )
         if resident < 13 * 1024 * 1024:
             return tile
@@ -78,19 +95,20 @@ def plan_downsample(
 
 
 def _fused_downsample_kernel(
-    x_hbm_ref,  # (B, T2, 2, F2, 2*Cp) HBM (bit-reshaped stage-padded layout)
+    x_hbm_ref,  # (B, T, Fp, Cp) HBM — native stage-padded layout
     g_ref,  # (1, Cp) f32 LN gamma (zero-padded)
     beta_ref,  # (1, Cp) f32 LN beta (zero-padded)
+    sel_ref,  # (2, F2p, Fp) compute-dtype one-hot freq-parity selectors
     w_ref,  # (4, Cp, C2p) compute-dtype conv weights, patch-major (i*2+j)
-    b_ref,  # (1, C2p) f32 conv bias (zero-padded)
+    b_ref,  # (1, C2p) f32 conv bias (zero-padded, masked to real rows)
+    mask_ref,  # (F2p, 1) f32 1/0 real-output-row mask
     out_ref,  # (1, t_tile, F2p, C2p) VMEM out block
-    have_ref,  # scratch (2, t_tile, 2, F2, 2*Cp) double-buffered DMA landing
+    have_ref,  # scratch (2, 2*t_tile, Fp, Cp) double-buffered DMA landing
     dma_sems,  # (2,) DMA semaphores
     *,
     t_tile: int,
     n_t: int,
     c_real: int,
-    f2_real: int,
     eps: float,
 ):
     b = pl.program_id(0)
@@ -101,7 +119,7 @@ def _fused_downsample_kernel(
 
     def dma(bb, jj, s):
         return pltpu.make_async_copy(
-            x_hbm_ref.at[bb, pl.ds(jj * t_tile, t_tile)],
+            x_hbm_ref.at[bb, pl.ds(2 * jj * t_tile, 2 * t_tile)],
             have_ref.at[s],
             dma_sems.at[s],
         )
@@ -118,41 +136,47 @@ def _fused_downsample_kernel(
 
     dma(b, j, slot).wait()
 
-    cp = g_ref.shape[1]
     cdt = w_ref.dtype
     inv_c = 1.0 / c_real
 
-    # ---- per-freq-parity LayerNorm + patch matmuls. The freq parity j is
-    # a 128-aligned lane split of the reshaped layout; the time parity i is
-    # an index on a major dim. Padded C lanes are exactly zero so full-lane
-    # sums / c_real equal the real-lane stats; the zero-padded gamma
-    # re-zeroes those lanes after the affine. Padded F columns produce
-    # `beta` values that only feed the padded output freq columns, which
-    # are re-zeroed at the write below.
+    # LayerNorm over channels (lanes). Padded C lanes are exactly zero so
+    # full-lane sums / c_real equal the real-lane stats; the zero-padded
+    # gamma re-zeroes those lanes after the affine. Padded F rows (zeros)
+    # come out as `beta` rows, but the selection matrices never pick them:
+    # real output rows g < f2_real only read input rows 2g+j < f_real.
+    x = have_ref[slot].astype(jnp.float32)  # (2*t_tile, Fp, Cp)
+    mean = jnp.sum(x, axis=-1, keepdims=True) * inv_c
+    sumsq = jnp.sum(x * x, axis=-1, keepdims=True) * inv_c
+    var = sumsq - mean * mean
+    yn = ((x - mean) * jax.lax.rsqrt(var + eps) * g_ref[0] + beta_ref[0]).astype(cdt)
+
+    # time parity: a free major-dim split + index
+    fp, cp = yn.shape[1], yn.shape[2]
+    yn = yn.reshape(t_tile, 2, fp, cp)
+
+    f2p = sel_ref.shape[1]
     acc = None
     for jj in range(2):
-        xj = have_ref[slot][..., jj * cp : (jj + 1) * cp].astype(jnp.float32)
-        mean = jnp.sum(xj, axis=-1, keepdims=True) * inv_c
-        sumsq = jnp.sum(xj * xj, axis=-1, keepdims=True) * inv_c
-        var = sumsq - mean * mean
-        yn = ((xj - mean) * jax.lax.rsqrt(var + eps) * g_ref[0] + beta_ref[0]).astype(
-            cdt
-        )  # (t_tile, 2, F2, Cp)
+        # freq parity: t-batched one-hot selection matmul (F2p, Fp)@(Fp, Cp)
+        sel = jnp.broadcast_to(sel_ref[jj][None], (t_tile, f2p, fp))
         for i in range(2):
-            term = jax.lax.dot_general(
+            picked = jax.lax.dot_general(
+                sel,
                 yn[:, i],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(cdt)  # (t_tile, F2p, Cp)
+            term = jax.lax.dot_general(
+                picked,
                 w_ref[i * 2 + jj],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc = term if acc is None else acc + term
-    z = (acc + b_ref[0]).astype(out_ref.dtype)
-
-    f2p = out_ref.shape[2]
-    if f2_real < f2p:
-        zero = jnp.zeros((t_tile, f2p - f2_real, out_ref.shape[3]), out_ref.dtype)
-        out_ref[0, :, f2_real:, :] = zero
-    out_ref[0, :, :f2_real, :] = z[:, :f2_real, :]
+    # masked bias: padded output rows stay exactly zero (selection rows are
+    # zero, so acc is already zero there — the mask only strips the bias)
+    z = ((acc + b_ref[0]) * mask_ref[:, :1][None]).astype(out_ref.dtype)
+    out_ref[0] = z
 
 
 @functools.partial(
@@ -185,7 +209,6 @@ def fused_downsample_padded(
     c2 = conv_weight.shape[-1]
     c2p = _round128(c2)
     t2 = t // 2
-    f2 = f_pad // 2
     f2_real = f_real // 2
     f2p = _round8(f2_real)
     cdt = x.dtype
@@ -197,9 +220,15 @@ def fused_downsample_padded(
         )
     n_t = t2 // tile
 
-    # bit-reshape (free, row-major compatible): freq parity -> an aligned
-    # lane split, time parity -> a major dim
-    x_r = x[:, : 2 * t2].reshape(b, t2, 2, f2, 2 * cp)
+    # one-hot freq-parity selectors: S[j, g, 2g+j] = 1 for g < f2_real —
+    # 0/1 values are exact in any compute dtype
+    sel = np.zeros((2, f2p, f_pad), np.float32)
+    g = np.arange(f2_real)
+    sel[0, g, 2 * g] = 1.0
+    sel[1, g, 2 * g + 1] = 1.0
+
+    mask = np.zeros((f2p, 1), np.float32)
+    mask[:f2_real] = 1.0
 
     # patch-major (i*2+j, Cp, C2p), channel-padded with zeros
     w = conv_weight.reshape(4, conv_weight.shape[2], c2)
@@ -210,7 +239,6 @@ def fused_downsample_padded(
         t_tile=tile,
         n_t=n_t,
         c_real=c_real,
-        f2_real=f2_real,
         eps=eps,
     )
     full = lambda shape: pl.BlockSpec(
@@ -223,15 +251,17 @@ def fused_downsample_padded(
             pl.BlockSpec(memory_space=pltpu.HBM),  # manual DMA
             full((1, cp)),
             full((1, cp)),
+            full((2, f2p, f_pad)),
             full((4, cp, c2p)),
             full((1, c2p)),
+            full((f2p, 1)),
         ],
         out_specs=pl.BlockSpec(
             (1, tile, f2p, c2p), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, t2, f2p, c2p), cdt),
         scratch_shapes=[
-            pltpu.VMEM((2, tile, 2, f2, 2 * cp), cdt),
+            pltpu.VMEM((2, 2 * tile, f_pad, cp), cdt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -242,9 +272,11 @@ def fused_downsample_padded(
         ),
         interpret=interpret,
     )(
-        x_r,
+        x,
         pad_channels(ln_weight.reshape(1, -1).astype(jnp.float32), cp),
         pad_channels(ln_bias.reshape(1, -1).astype(jnp.float32), cp),
+        jnp.asarray(sel, cdt),
         w,
         pad_channels(conv_bias.reshape(1, -1).astype(jnp.float32), c2p),
+        jnp.asarray(mask),
     )
