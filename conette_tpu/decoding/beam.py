@@ -89,9 +89,6 @@ def beam_search(
 
     cache = init_cache(params, cfg, memory, mem_pad, max_pred_size)
 
-    # per-clip offsets for flat gathers
-    base = (jnp.arange(b) * k)[:, None]  # (B, 1)
-
     class _State(NamedTuple):
         cache: object
         tok: jax.Array  # (flat,) last fed token
@@ -174,8 +171,7 @@ def beam_search(
         new_sum = jnp.where(new_alive, scores, NEG)
 
         # reorder KV cache by parents; retired/dead rows keep arbitrary data
-        flat_parent = (base + parent).reshape(flat)
-        cache = reorder_cache(cache, flat_parent)
+        cache = reorder_cache(cache, parent)
         tok = jnp.where(valid, token, cfg.pad_id).reshape(flat)
 
         return (

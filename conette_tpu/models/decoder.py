@@ -338,15 +338,32 @@ def decode_step(
     )
 
 
-def reorder_cache(cache: DecodeCache, indices: jax.Array) -> DecodeCache:
-    """Gather the batch axis by ``indices`` (beam-search parent reorder)."""
-    # Permute rows via a one-hot matmul instead of a gather: XLA's TPU
-    # gather lowering on these (B·beam, H, L, dh) buffers is several times
-    # slower than the MXU; a 0/1 permutation matrix is numerically exact
-    # (each output row is a single-term sum).
-    n = cache.self_k[0].shape[0]
+def reorder_cache(cache: DecodeCache, parent: jax.Array) -> DecodeCache:
+    """Gather the batch axis by per-clip beam parents (beam-search reorder).
+
+    :param parent: (B, beam) parent beam index within each clip; the cache
+        batch axis is laid out clip-major (``B·beam`` rows, beams of clip 0
+        first).
+
+    Implemented as ONE dense (B·beam)² one-hot permutation matmul per
+    buffer. That looks wasteful — the permutation is block-diagonal (a
+    winning beam's parent is always one of the SAME clip's beams), and the
+    dense form burns ~163 GFLOP per decode step at batch 384 · beam 3 — but
+    every "cheaper" formulation measured SLOWER on the chip in a
+    within-session A/B of the full beam decode (scripts/ab_reorder.py,
+    batch 384): dense perm matmul 129 ms, batched (beam×beam) block-diagonal
+    dot_general 292 ms (tiny-matmul lowering pads each 3×3 block to MXU
+    tiles), beam-axis take_along_axis gather 334 ms, broadcast
+    multiply-add select 569 ms. The (1152, 1152)@(1152, 5120) bf16 matmul
+    is an ideal MXU shape and the FLOPs are effectively free; a 0/1
+    permutation matrix is numerically exact (each output row is a
+    single-term sum).
+    """
+    bsz, k = parent.shape
+    n = bsz * k
+    flat_parent = (parent + (jnp.arange(bsz) * k)[:, None]).reshape(n)
     dtype = cache.self_k[0].dtype
-    perm = jax.nn.one_hot(indices, n, dtype=dtype)  # (n, n)
+    perm = jax.nn.one_hot(flat_parent, n, dtype=dtype)  # (n, n)
 
     def permute(buf: jax.Array) -> jax.Array:
         flat = buf.reshape(n, -1)

@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Within-session A/B of the beam KV-cache reorder formulations: the dense
+(B·beam)² one-hot matmul (production, `models/decoder.py::reorder_cache`)
+vs block-diagonal batched matmul / gather / elementwise select / fused
+single-matmul / no-op (timing bound).
+
+The tunneled chip is time-sliced, so cross-run comparisons are invalid
+(PROFILE.md "chip reality"); this alternates both variants in ONE process
+and reports per-variant medians of the FULL decode path (beam_search at
+bench shapes), which is where the reorder lives.
+
+Usage:  python scripts/ab_reorder.py [--batch 384] [--iters 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=384)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from conette_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import conette_tpu.decoding.beam as beam_mod
+    from conette_tpu.models.decoder import DecodeCache, DecoderConfig, decoder_init
+
+    BEAM, VOCAB, T_MEM, MAXP = 3, 4000, 31, 20
+    cfg = DecoderConfig(vocab_size=VOCAB)
+    params = decoder_init(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    rng = np.random.default_rng(0)
+    memory = jnp.asarray(
+        rng.standard_normal((args.batch, T_MEM, cfg.d_model)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    mem_pad = jnp.zeros((args.batch, T_MEM), bool)
+    bos = jnp.full((args.batch,), 4, jnp.int32)
+    forbid = jnp.zeros((VOCAB,), bool).at[100:].set(True)
+
+    def block_diag_reorder(cache: DecodeCache, parent) -> DecodeCache:
+        # batched (beam×beam) one-hot dot_general — B× fewer FLOPs on paper,
+        # but the tiny per-clip matmuls lower terribly (measured 2.2× slower)
+        bsz, k = parent.shape
+        dtype = cache.self_k[0].dtype
+        perm = jax.nn.one_hot(parent, k, dtype=dtype)  # (B, k, k)
+
+        def permute(buf):
+            flat = buf.reshape(bsz, k, -1)
+            out = jax.lax.dot_general(
+                perm, flat,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=dtype,
+            )
+            return out.reshape(buf.shape)
+
+        return DecodeCache(
+            self_k=tuple(permute(kk) for kk in cache.self_k),
+            self_v=tuple(permute(v) for v in cache.self_v),
+            cross_k=cache.cross_k,
+            cross_v=cache.cross_v,
+            memory_pad=cache.memory_pad,
+        )
+
+    def elementwise_reorder(cache: DecodeCache, parent) -> DecodeCache:
+        # out[b,i] = Σ_j perm[b,i,j] · flat[b,j] — k broadcast FMA passes on
+        # the VPU, no matmul lowering at all
+        bsz, k = parent.shape
+        dtype = cache.self_k[0].dtype
+        perm = jax.nn.one_hot(parent, k, dtype=dtype)  # (B, k, k)
+
+        def permute(buf):
+            flat = buf.reshape(bsz, k, -1)
+            out = sum(
+                perm[:, :, j][:, :, None] * flat[:, j][:, None, :]
+                for j in range(k)
+            )
+            return out.reshape(buf.shape)
+
+        return DecodeCache(
+            self_k=tuple(permute(kk) for kk in cache.self_k),
+            self_v=tuple(permute(v) for v in cache.self_v),
+            cross_k=cache.cross_k,
+            cross_v=cache.cross_v,
+            memory_pad=cache.memory_pad,
+        )
+
+    def gather_reorder(cache: DecodeCache, parent) -> DecodeCache:
+        # plain beam-axis take_along_axis (XLA gather lowering)
+        bsz, k = parent.shape
+
+        def permute(buf):
+            flat = buf.reshape(bsz, k, -1)
+            out = jnp.take_along_axis(flat, parent[:, :, None], axis=1)
+            return out.reshape(buf.shape)
+
+        return DecodeCache(
+            self_k=tuple(permute(kk) for kk in cache.self_k),
+            self_v=tuple(permute(v) for v in cache.self_v),
+            cross_k=cache.cross_k,
+            cross_v=cache.cross_v,
+            memory_pad=cache.memory_pad,
+        )
+
+    def fused_full_perm_reorder(cache: DecodeCache, parent) -> DecodeCache:
+        # full_perm, but all 12 buffers concatenated into ONE matmul
+        bsz, k = parent.shape
+        flat_parent = (parent + (jnp.arange(bsz) * k)[:, None]).reshape(-1)
+        n = cache.self_k[0].shape[0]
+        dtype = cache.self_k[0].dtype
+        perm = jax.nn.one_hot(flat_parent, n, dtype=dtype)
+        bufs = list(cache.self_k) + list(cache.self_v)
+        big = jnp.concatenate([b.reshape(n, -1) for b in bufs], axis=1)
+        out = jnp.dot(perm, big, preferred_element_type=dtype)
+        per = bufs[0].reshape(n, -1).shape[1]
+        outs = [
+            out[:, i * per : (i + 1) * per].reshape(bufs[0].shape)
+            for i in range(len(bufs))
+        ]
+        nl = len(cache.self_k)
+        return DecodeCache(
+            self_k=tuple(outs[:nl]),
+            self_v=tuple(outs[nl:]),
+            cross_k=cache.cross_k,
+            cross_v=cache.cross_v,
+            memory_pad=cache.memory_pad,
+        )
+
+    def no_reorder(cache: DecodeCache, parent) -> DecodeCache:
+        # identity — WRONG results; bounds the reorder's share of decode time
+        return cache
+
+    prod_reorder = beam_mod.reorder_cache
+
+    def make(variant):
+        # reorder_cache is resolved at trace time from the beam module's
+        # global, so swapping it before the first call bakes the variant in
+        def run(mem, j):
+            res = beam_mod.beam_search(
+                params, cfg, mem + j * 1e-6, mem_pad, bos,
+                beam_size=BEAM, min_pred_size=3, max_pred_size=MAXP,
+                forbid_rep_mask=forbid,
+            )
+            return res.best_preds
+
+        fn = jax.jit(run)
+        beam_mod.reorder_cache = variant
+        try:
+            _ = np.asarray(fn(memory, jnp.float32(0)))  # trace+compile now
+        finally:
+            beam_mod.reorder_cache = prod_reorder
+        return fn
+
+    variants = {
+        "full_perm": make(prod_reorder),  # production: dense (B·beam)² matmul
+        "block_diag": make(block_diag_reorder),
+        "elementwise": make(elementwise_reorder),
+        "gather": make(gather_reorder),
+        "fused_full_perm": make(fused_full_perm_reorder),
+        "none": make(no_reorder),
+    }
+
+    def t_of(fn, jit_offset: float) -> float:
+        t0 = time.perf_counter()
+        np.asarray(fn(memory, jnp.float32(jit_offset)))
+        return time.perf_counter() - t0
+
+    times = {name: [] for name in variants}
+    for i in range(args.iters):  # alternate: every variant sees every window
+        for vi, (name, fn) in enumerate(variants.items()):
+            times[name].append(t_of(fn, 1 + 100 * vi + i) * 1e3)
+
+    out = {"batch": args.batch}
+    for name, ms in times.items():
+        out[f"{name}_ms"] = [round(x, 1) for x in ms]
+        out[f"median_{name}_ms"] = round(statistics.median(ms), 1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    rc = main()
+    sys.stdout.flush()
+    os._exit(rc)  # PJRT teardown can hang over the tunnel

@@ -172,14 +172,14 @@ def test_cache_reorder_consistency(params):
 
     cache = init_cache(params, CFG, memory, mem_pad, max_steps=4)
     _, cache = decode_step(params, CFG, cache, ids0, jnp.int32(0))
-    # reorder within beam groups: [1, 0, 3, 2]
-    perm = jnp.asarray([1, 0, 3, 2])
+    # reorder within beam groups (local parents): flat [1, 0, 3, 2]
+    perm = jnp.asarray([[1, 0], [1, 0]])
     cache_r = reorder_cache(cache, perm)
     logits_r, _ = decode_step(params, CFG, cache_r, ids1, jnp.int32(1))
 
     # recompute directly with permuted first tokens
     cache2 = init_cache(params, CFG, memory, mem_pad, max_steps=4)
-    _, cache2 = decode_step(params, CFG, cache2, ids0[perm], jnp.int32(0))
+    _, cache2 = decode_step(params, CFG, cache2, ids0[perm.reshape(-1) + jnp.asarray([0, 0, 2, 2])], jnp.int32(0))
     logits2, _ = decode_step(params, CFG, cache2, ids1, jnp.int32(1))
     np.testing.assert_allclose(_np(logits_r), _np(logits2), atol=1e-5)
 
