@@ -58,19 +58,40 @@ def num_frames(n_samples: int, n_fft: int, hop_length: int) -> int:
     return 1 + n_samples // hop_length
 
 
-def frame_signal(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+def frame_signal(
+    x: jnp.ndarray, n_fft: int, hop_length: int, impl: str = "slices"
+) -> jnp.ndarray:
     """(B, T) waveform → (B, n_frames, n_fft) frames with center reflect pad.
 
-    Framing is expressed as a strided gather over the padded signal; XLA
-    lowers it to an efficient dynamic-slice pattern and keeps everything on
-    device.
+    ``impl="slices"`` (default) reshapes the padded signal into hop-sized
+    blocks and builds each frame as a concatenation of ``ceil(n_fft/hop)``
+    shifted block slices — every op is a contiguous copy, no gather
+    lowering. ``impl="gather"`` keeps the strided-gather formulation for
+    A/B comparison (scripts/ab_frontend.py). Both produce identical values.
     """
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    n_out = num_frames(x.shape[1] - 2 * pad, n_fft, hop_length)
-    starts = np.arange(n_out) * hop_length
-    idx = starts[:, None] + np.arange(n_fft)[None, :]
-    return x[:, idx]
+    tp = x.shape[1]
+    n_out = num_frames(tp - 2 * pad, n_fft, hop_length)
+    if impl == "gather":
+        starts = np.arange(n_out) * hop_length
+        idx = starts[:, None] + np.arange(n_fft)[None, :]
+        return x[:, idx]
+    # frame i = padded[i·hop : i·hop + n_fft]: with the signal viewed as
+    # (nb, hop) blocks, that is blocks i..i+m-1 plus the first ``rem``
+    # samples of block i+m (frame starts are always hop multiples)
+    m, rem = divmod(n_fft, hop_length)
+    required = (n_out - 1) * hop_length + n_fft
+    nb = -(-required // hop_length)
+    if nb * hop_length > tp:
+        x = jnp.pad(x, ((0, 0), (0, nb * hop_length - tp)))
+    else:
+        x = x[:, : nb * hop_length]
+    blocks = x.reshape(x.shape[0], nb, hop_length)
+    parts = [blocks[:, j : j + n_out] for j in range(m)]
+    if rem:
+        parts.append(blocks[:, m : m + n_out, :rem])
+    return jnp.concatenate(parts, axis=-1)
 
 
 def power_spectrogram(

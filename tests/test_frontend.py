@@ -14,7 +14,12 @@ import jax.numpy as jnp
 from conette_tpu.ops.frontend import DEFAULT_LOGMEL, logmel_spectrogram
 from conette_tpu.ops.mel import hz_to_mel, mel_filterbank, mel_to_hz, power_to_db
 from conette_tpu.ops.resample import resample, resample_kernel, resampled_length
-from conette_tpu.ops.stft import hann_window, num_frames, power_spectrogram
+from conette_tpu.ops.stft import (
+    frame_signal,
+    hann_window,
+    num_frames,
+    power_spectrogram,
+)
 
 
 def _rand_wave(n=32_000, seed=0):
@@ -45,6 +50,24 @@ class TestSTFT:
         ref = (st.abs() ** 2).numpy().T  # (frames, freqs)
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-4)
+
+    @pytest.mark.parametrize(
+        "n,n_fft,hop",
+        [
+            (32_000, 1024, 320),  # production geometry (rem=64)
+            (32_001, 1024, 320),  # T not a hop multiple
+            (31_999, 1024, 320),
+            (16_000, 512, 256),  # n_fft % hop == 0 (no partial block)
+            (16_000, 1024, 1024),  # hop == n_fft
+            (4_096, 400, 160),  # PANN-style geometry
+        ],
+    )
+    def test_frame_slices_equals_gather(self, n, n_fft, hop):
+        x = jnp.asarray(_rand_wave(n)[None, :])
+        a = np.asarray(frame_signal(x, n_fft, hop, impl="slices"))
+        b = np.asarray(frame_signal(x, n_fft, hop, impl="gather"))
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
 
     def test_num_frames(self):
         assert num_frames(320_000, 1024, 320) == 1001  # 10 s @ 32 kHz
