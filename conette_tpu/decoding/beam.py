@@ -46,7 +46,8 @@ from conette_tpu.models.decoder import (
     DecoderConfig,
     Params,
     decode_step,
-    init_cache,
+    init_cross,
+    init_self,
     reorder_cache,
 )
 
@@ -82,12 +83,13 @@ def beam_search(
     vocab = cfg.vocab_size
     flat = b * k
 
-    # expand each clip to `beam` identical rows (beam.py:68-69)
-    memory = jnp.repeat(memory, k, axis=0)
-    mem_pad = jnp.repeat(memory_key_padding_mask, k, axis=0)
+    # beams stay a free axis of the per-clip cross context (the reference
+    # instead expands memory to beam identical rows, beam.py:68-69); only
+    # the token stream runs at B·k, in clip-major order
     bos_flat = jnp.repeat(bos_ids.astype(jnp.int32), k, axis=0)
 
-    cache = init_cache(params, cfg, memory, mem_pad, max_pred_size)
+    ctx = init_cross(params, cfg, memory, memory_key_padding_mask)
+    cache = init_self(cfg, flat, max_pred_size, memory.dtype)
 
     class _State(NamedTuple):
         cache: object
@@ -116,7 +118,7 @@ def beam_search(
     )
 
     def body(state: _State, step: jax.Array):
-        raw, cache = decode_step(params, cfg, state.cache, state.tok, step)
+        raw, cache = decode_step(params, cfg, state.cache, ctx, state.tok, step)
         logits = masked_logits(
             raw,
             step,

@@ -26,6 +26,8 @@ from conette_tpu.models.decoder import (
     init_cache,
 )
 
+__all__ = ["GreedyResult", "greedy_search", "masked_logits"]
+
 NEG_INF = -jnp.inf
 
 
@@ -73,7 +75,9 @@ def greedy_search(
     """
     b = memory.shape[0]
     vocab = cfg.vocab_size
-    cache = init_cache(params, cfg, memory, memory_key_padding_mask, max_pred_size)
+    cache, ctx = init_cache(
+        params, cfg, memory, memory_key_padding_mask, max_pred_size
+    )
 
     # pad one-hot row recorded for finished steps (greedy.py:63-69)
     pad_row = jnp.full((vocab,), NEG_INF, jnp.float32).at[cfg.pad_id].set(0.0)
@@ -82,7 +86,7 @@ def greedy_search(
 
     def body(state, step):
         cache, tok, finished, mh = state
-        raw, cache = decode_step(params, cfg, cache, tok, step)
+        raw, cache = decode_step(params, cfg, cache, ctx, tok, step)
         logits = masked_logits(
             raw, step, min_pred_size, cfg.eos_id, mh, forbid_rep_mask
         )

@@ -212,7 +212,16 @@ def decoder_forward(
 
 # ------------------------------------------------------------- cached decode
 class DecodeCache(NamedTuple):
-    """Static-shape incremental state for one decode stream batch."""
+    """Mutable static-shape incremental state for one decode stream batch.
+
+    Holds ONLY the per-step-written self-attention buffers, so it is the
+    whole of what a decode loop must carry (and what the beam reorder must
+    permute). The loop-invariant cross-attention state lives in
+    :class:`CrossContext`, which decode loops close over instead of
+    carrying — keeping it out of the ``lax.while_loop`` state removes the
+    per-step loop-buffer copies XLA emits for carried values (measured in
+    the r4 device trace: ~11 ms of copies in a 67.6 ms batch-384 decode).
+    """
 
     # per-layer tuples of (B, H, L_max, dh) — separate small buffers so each
     # step's dynamic_update_slice aliases in place (the written buffer is
@@ -221,9 +230,54 @@ class DecodeCache(NamedTuple):
     # beam-parent reorder is a leading-axis gather per layer
     self_k: tuple
     self_v: tuple
+
+
+class CrossContext(NamedTuple):
+    """Loop-invariant cross-attention state, stored PER CLIP.
+
+    Beams of one clip share identical memory, so K/V are computed and kept
+    at clip batch ``B`` while the token stream runs at ``B·beam`` — the
+    per-step cross-attention reads 1/beam of the bytes (the decode loop is
+    HBM-bound; r4 trace: cross-attn products were 40.6 MB/step/layer of the
+    67.6 ms decode) and the K/V projections do 1/beam of the FLOPs.
+    The reference re-encodes expanded memory per beam instead
+    (``src/conette/nn/decoding/beam.py:68-69``).
+    """
+
     cross_k: jax.Array  # (num_layers, B, H, T_mem, dh)
     cross_v: jax.Array  # (num_layers, B, H, T_mem, dh)
     memory_pad: jax.Array  # (B, T_mem) True = PAD
+
+
+def init_cross(
+    params: Params,
+    cfg: DecoderConfig,
+    memory: jax.Array,
+    memory_key_padding_mask: jax.Array,
+) -> CrossContext:
+    """Precompute per-clip cross-attention K/V from projected memory."""
+    cross_k, cross_v = [], []
+    for layer in params["layers"]:
+        ca = layer["cross_attn"]
+        cross_k.append(_split_heads(linear(ca["k"], memory), cfg.nhead))
+        cross_v.append(_split_heads(linear(ca["v"], memory), cfg.nhead))
+    return CrossContext(
+        cross_k=jnp.stack(cross_k),
+        cross_v=jnp.stack(cross_v),
+        memory_pad=memory_key_padding_mask,
+    )
+
+
+def init_self(
+    cfg: DecoderConfig, batch: int, max_steps: int, dtype
+) -> DecodeCache:
+    """Allocate zeroed self-attention K/V buffers for ``batch`` streams."""
+    dh = cfg.d_model // cfg.nhead
+    zeros = jnp.zeros((batch, cfg.nhead, max_steps, dh), dtype)
+    return DecodeCache(
+        self_k=(zeros,) * cfg.num_layers,
+        self_v=(zeros,) * cfg.num_layers,
+    )
 
 
 def init_cache(
@@ -232,43 +286,36 @@ def init_cache(
     memory: jax.Array,
     memory_key_padding_mask: jax.Array,
     max_steps: int,
-) -> DecodeCache:
-    """Precompute cross-attention K/V and allocate self-attention buffers."""
-    b, t_mem, _ = memory.shape
-    dh = cfg.d_model // cfg.nhead
-    cross_k, cross_v = [], []
-    for layer in params["layers"]:
-        ca = layer["cross_attn"]
-        cross_k.append(_split_heads(linear(ca["k"], memory), cfg.nhead))
-        cross_v.append(_split_heads(linear(ca["v"], memory), cfg.nhead))
-    zeros = jnp.zeros((b, cfg.nhead, max_steps, dh), memory.dtype)
-    return DecodeCache(
-        self_k=(zeros,) * cfg.num_layers,
-        self_v=(zeros,) * cfg.num_layers,
-        cross_k=jnp.stack(cross_k),
-        cross_v=jnp.stack(cross_v),
-        memory_pad=memory_key_padding_mask,
-    )
+) -> tuple[DecodeCache, CrossContext]:
+    """Convenience: ``(init_self(...), init_cross(...))`` at equal batch."""
+    ctx = init_cross(params, cfg, memory, memory_key_padding_mask)
+    cache = init_self(cfg, memory.shape[0], max_steps, memory.dtype)
+    return cache, ctx
 
 
 def decode_step(
     params: Params,
     cfg: DecoderConfig,
     cache: DecodeCache,
+    ctx: CrossContext,
     token_ids: jax.Array,
     step: jax.Array,
 ) -> tuple[jax.Array, DecodeCache]:
     """One incremental decode step.
 
-    :param token_ids: (B,) current input tokens.
+    :param token_ids: (B·beam,) current input tokens; ``ctx`` is at clip
+        batch B and ``beam = len(token_ids) // B`` consecutive rows share
+        each clip's cross K/V (beam=1 for greedy/plain batches).
     :param step: scalar int32 position of ``token_ids`` in the sequence.
-    :returns: ((B, vocab) logits for the next token, updated cache).
+    :returns: ((B·beam, vocab) logits for the next token, updated cache).
     """
     b = token_ids.shape[0]
+    b_ctx = ctx.memory_pad.shape[0]
+    beams = b // b_ctx
     dh = cfg.d_model // cfg.nhead
     max_steps = cache.self_k[0].shape[2]
 
-    x = embedding(params["emb"], token_ids, dtype=cache.cross_k.dtype)
+    x = embedding(params["emb"], token_ids, dtype=ctx.cross_k.dtype)
     x = x * math.sqrt(cfg.d_model)
     pos = jnp.asarray(sinusoidal_positions(cfg.max_len, cfg.d_model), dtype=x.dtype)
     x = x + jax.lax.dynamic_slice_in_dim(pos, step, 1, axis=0)[0]
@@ -313,15 +360,19 @@ def decode_step(
         x = layer_norm(layer["norm1"], x + sa_out, LN_EPS)
 
         ca = layer["cross_attn"]
-        q = _split_heads(linear(ca["q"], x), cfg.nhead)
+        q = _split_heads(linear(ca["q"], x), cfg.nhead)  # (B·beam, H, 1, dh)
+        # beams of a clip share K/V: batch the product over clips with the
+        # beam axis free, reading each clip's K/V once instead of beam times
+        qb = q[:, :, 0, :].reshape(b_ctx, beams, cfg.nhead, dh)
         scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, cache.cross_k[i], preferred_element_type=jnp.float32
+            "bkhd,bhmd->bkhm", qb, ctx.cross_k[i], preferred_element_type=jnp.float32
         ) / math.sqrt(dh)
-        scores = jnp.where(cache.memory_pad[:, None, None, :], NEG_INF, scores)
+        scores = jnp.where(ctx.memory_pad[:, None, None, :], NEG_INF, scores)
         w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         ca_out = jnp.einsum(
-            "bhqk,bhkd->bhqd", w, cache.cross_v[i], preferred_element_type=jnp.float32
+            "bkhm,bhmd->bkhd", w, ctx.cross_v[i], preferred_element_type=jnp.float32
         )
+        ca_out = ca_out.reshape(b, cfg.nhead, 1, dh)
         ca_out = linear(ca["out"], _merge_heads(ca_out.astype(x.dtype)))
         x = layer_norm(layer["norm2"], x + ca_out, LN_EPS)
 
@@ -332,9 +383,6 @@ def decode_step(
     return logits, DecodeCache(
         self_k=tuple(new_self_k),
         self_v=tuple(new_self_v),
-        cross_k=cache.cross_k,
-        cross_v=cache.cross_v,
-        memory_pad=cache.memory_pad,
     )
 
 
@@ -373,9 +421,6 @@ def reorder_cache(cache: DecodeCache, parent: jax.Array) -> DecodeCache:
     return DecodeCache(
         self_k=tuple(permute(k) for k in cache.self_k),
         self_v=tuple(permute(v) for v in cache.self_v),
-        cross_k=cache.cross_k,  # invariant across beam reorders within a clip
-        cross_v=cache.cross_v,
-        memory_pad=cache.memory_pad,
     )
 
 

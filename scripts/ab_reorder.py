@@ -73,9 +73,6 @@ def main() -> int:
         return DecodeCache(
             self_k=tuple(permute(kk) for kk in cache.self_k),
             self_v=tuple(permute(v) for v in cache.self_v),
-            cross_k=cache.cross_k,
-            cross_v=cache.cross_v,
-            memory_pad=cache.memory_pad,
         )
 
     def elementwise_reorder(cache: DecodeCache, parent) -> DecodeCache:
@@ -96,9 +93,6 @@ def main() -> int:
         return DecodeCache(
             self_k=tuple(permute(kk) for kk in cache.self_k),
             self_v=tuple(permute(v) for v in cache.self_v),
-            cross_k=cache.cross_k,
-            cross_v=cache.cross_v,
-            memory_pad=cache.memory_pad,
         )
 
     def gather_reorder(cache: DecodeCache, parent) -> DecodeCache:
@@ -113,9 +107,6 @@ def main() -> int:
         return DecodeCache(
             self_k=tuple(permute(kk) for kk in cache.self_k),
             self_v=tuple(permute(v) for v in cache.self_v),
-            cross_k=cache.cross_k,
-            cross_v=cache.cross_v,
-            memory_pad=cache.memory_pad,
         )
 
     def fused_full_perm_reorder(cache: DecodeCache, parent) -> DecodeCache:
@@ -137,10 +128,39 @@ def main() -> int:
         return DecodeCache(
             self_k=tuple(outs[:nl]),
             self_v=tuple(outs[nl:]),
-            cross_k=cache.cross_k,
-            cross_v=cache.cross_v,
-            memory_pad=cache.memory_pad,
         )
+
+    def make_tiled_reorder(tile: int):
+        # The full (n, n) permutation is block-diagonal at clip granularity
+        # (parents stay within a clip), so rows can be processed in
+        # independent tiles of ``tile`` rows (tile % beam == 0 keeps clips
+        # unsplit): a batched (n/tile, tile, tile) @ (n/tile, tile, payload)
+        # dot_general with tile/n of the dense FLOPs.
+        def tiled_reorder(cache: DecodeCache, parent) -> DecodeCache:
+            bsz, k = parent.shape
+            n = bsz * k
+            assert n % tile == 0 and tile % k == 0
+            g = n // tile
+            flat_parent = (parent + (jnp.arange(bsz) * k)[:, None]).reshape(g, tile)
+            local = flat_parent - (jnp.arange(g) * tile)[:, None]
+            dtype = cache.self_k[0].dtype
+            perm = jax.nn.one_hot(local, tile, dtype=dtype)  # (g, tile, tile)
+
+            def permute(buf):
+                flat = buf.reshape(g, tile, -1)
+                out = jax.lax.dot_general(
+                    perm, flat,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=dtype,
+                )
+                return out.reshape(buf.shape)
+
+            return DecodeCache(
+                self_k=tuple(permute(kk) for kk in cache.self_k),
+                self_v=tuple(permute(v) for v in cache.self_v),
+            )
+
+        return tiled_reorder
 
     def no_reorder(cache: DecodeCache, parent) -> DecodeCache:
         # identity — WRONG results; bounds the reorder's share of decode time
@@ -169,12 +189,18 @@ def main() -> int:
 
     variants = {
         "full_perm": make(prod_reorder),  # production: dense (B·beam)² matmul
-        "block_diag": make(block_diag_reorder),
-        "elementwise": make(elementwise_reorder),
-        "gather": make(gather_reorder),
-        "fused_full_perm": make(fused_full_perm_reorder),
+        "tiled_384": make(make_tiled_reorder(384)),
+        "tiled_192": make(make_tiled_reorder(192)),
+        "tiled_96": make(make_tiled_reorder(96)),
         "none": make(no_reorder),
     }
+    if os.environ.get("CONETTE_AB_ALL"):
+        variants.update(
+            block_diag=make(block_diag_reorder),
+            elementwise=make(elementwise_reorder),
+            gather=make(gather_reorder),
+            fused_full_perm=make(fused_full_perm_reorder),
+        )
 
     def t_of(fn, jit_offset: float) -> float:
         t0 = time.perf_counter()

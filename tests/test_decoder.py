@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from conette_tpu.models.decoder import (
     DecoderConfig,
     decode_step,
+    init_cross,
+    init_self,
     decoder_forward,
     decoder_init,
     init_cache,
@@ -149,10 +151,10 @@ def test_incremental_decode_matches_full_forward(params):
         decoder_forward(params, CFG, memory, ids, memory_key_padding_mask=mem_pad)
     )
 
-    cache = init_cache(params, CFG, memory, mem_pad, max_steps=L)
+    cache, ctx = init_cache(params, CFG, memory, mem_pad, max_steps=L)
     inc = []
     for t in range(L):
-        logits, cache = decode_step(params, CFG, cache, ids[:, t], jnp.int32(t))
+        logits, cache = decode_step(params, CFG, cache, ctx, ids[:, t], jnp.int32(t))
         inc.append(_np(logits))
     inc = np.stack(inc, axis=1)
     np.testing.assert_allclose(inc, full, atol=1e-4, rtol=1e-4)
@@ -164,24 +166,54 @@ def test_cache_reorder_consistency(params):
     rng = np.random.default_rng(2)
     B, T = 4, 5
     memory_np = rng.standard_normal((2, T, CFG.d_model)).astype(np.float32)
-    # two clips × two beams, beams share the clip memory
-    memory = jnp.asarray(np.repeat(memory_np, 2, axis=0))
-    mem_pad = jnp.zeros((B, T), bool)
+    # two clips × two beams: the per-clip cross context is shared by both
+    # beam rows of each clip (clip-major token layout)
+    memory = jnp.asarray(memory_np)
+    mem_pad = jnp.zeros((2, T), bool)
     ids0 = jnp.asarray([4, 5, 6, 7], jnp.int32)
     ids1 = jnp.asarray([8, 9, 10, 11], jnp.int32)
 
-    cache = init_cache(params, CFG, memory, mem_pad, max_steps=4)
-    _, cache = decode_step(params, CFG, cache, ids0, jnp.int32(0))
+    ctx = init_cross(params, CFG, memory, mem_pad)
+    cache = init_self(CFG, B, 4, memory.dtype)
+    _, cache = decode_step(params, CFG, cache, ctx, ids0, jnp.int32(0))
     # reorder within beam groups (local parents): flat [1, 0, 3, 2]
     perm = jnp.asarray([[1, 0], [1, 0]])
     cache_r = reorder_cache(cache, perm)
-    logits_r, _ = decode_step(params, CFG, cache_r, ids1, jnp.int32(1))
+    logits_r, _ = decode_step(params, CFG, cache_r, ctx, ids1, jnp.int32(1))
 
     # recompute directly with permuted first tokens
-    cache2 = init_cache(params, CFG, memory, mem_pad, max_steps=4)
-    _, cache2 = decode_step(params, CFG, cache2, ids0[perm.reshape(-1) + jnp.asarray([0, 0, 2, 2])], jnp.int32(0))
-    logits2, _ = decode_step(params, CFG, cache2, ids1, jnp.int32(1))
+    cache2 = init_self(CFG, B, 4, memory.dtype)
+    _, cache2 = decode_step(
+        params, CFG, cache2, ctx,
+        ids0[perm.reshape(-1) + jnp.asarray([0, 0, 2, 2])], jnp.int32(0),
+    )
+    logits2, _ = decode_step(params, CFG, cache2, ctx, ids1, jnp.int32(1))
     np.testing.assert_allclose(_np(logits_r), _np(logits2), atol=1e-5)
+
+
+def test_shared_cross_context_equals_expanded(params):
+    """A per-clip CrossContext with beam>1 token rows must produce the same
+    logits as expanding memory to one row per beam (the reference's layout,
+    beam.py:68-69)."""
+    rng = np.random.default_rng(3)
+    B, K, T = 3, 2, 5
+    memory_np = rng.standard_normal((B, T, CFG.d_model)).astype(np.float32)
+    pad_np = np.zeros((B, T), bool)
+    pad_np[1, -2:] = True  # a clip with real memory padding
+    ids = jnp.asarray(rng.integers(3, CFG.vocab_size, size=(B * K,)), jnp.int32)
+
+    ctx = init_cross(params, CFG, jnp.asarray(memory_np), jnp.asarray(pad_np))
+    cache = init_self(CFG, B * K, 4, jnp.float32)
+    shared, _ = decode_step(params, CFG, cache, ctx, ids, jnp.int32(0))
+
+    ctx_exp = init_cross(
+        params, CFG,
+        jnp.asarray(np.repeat(memory_np, K, axis=0)),
+        jnp.asarray(np.repeat(pad_np, K, axis=0)),
+    )
+    cache2 = init_self(CFG, B * K, 4, jnp.float32)
+    expanded, _ = decode_step(params, CFG, cache2, ctx_exp, ids, jnp.int32(0))
+    np.testing.assert_allclose(_np(shared), _np(expanded), atol=1e-5)
 
 
 def test_embedding_scale_and_padding_row(params):
