@@ -173,7 +173,7 @@ def beam_search(
         new_sum = jnp.where(new_alive, scores, NEG)
 
         # reorder KV cache by parents; retired/dead rows keep arbitrary data
-        cache = reorder_cache(cache, parent)
+        cache = reorder_cache(cache, parent, step)
         tok = jnp.where(valid, token, cfg.pad_id).reshape(flat)
 
         return (

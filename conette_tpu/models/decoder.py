@@ -386,24 +386,37 @@ def decode_step(
     )
 
 
-def reorder_cache(cache: DecodeCache, parent: jax.Array) -> DecodeCache:
+def reorder_cache(
+    cache: DecodeCache,
+    parent: jax.Array,
+    step: jax.Array | None = None,
+    l_chunks: int = 1,
+) -> DecodeCache:
     """Gather the batch axis by per-clip beam parents (beam-search reorder).
 
     :param parent: (B, beam) parent beam index within each clip; the cache
         batch axis is laid out clip-major (``B·beam`` rows, beams of clip 0
         first).
+    :param step: current decode step (rows > step are unwritten zeros).
+        With ``l_chunks > 1`` the L axis is split into that many chunks and
+        a chunk is permuted only when ``step`` has reached it
+        (``lax.cond``), skipping the dense matmul's bytes+FLOPs for the
+        unwritten suffix — on average ~40% of the reorder at beam-3
+        geometry (triangular occupancy). Permuting zeros is a semantic
+        no-op, so any chunking is exact.
 
-    Implemented as ONE dense (B·beam)² one-hot permutation matmul per
+    Each chunk is ONE dense (B·beam)² one-hot permutation matmul per
     buffer. That looks wasteful — the permutation is block-diagonal (a
     winning beam's parent is always one of the SAME clip's beams), and the
     dense form burns ~163 GFLOP per decode step at batch 384 · beam 3 — but
-    every "cheaper" formulation measured SLOWER on the chip in a
-    within-session A/B of the full beam decode (scripts/ab_reorder.py,
-    batch 384): dense perm matmul 129 ms, batched (beam×beam) block-diagonal
-    dot_general 292 ms (tiny-matmul lowering pads each 3×3 block to MXU
-    tiles), beam-axis take_along_axis gather 334 ms, broadcast
-    multiply-add select 569 ms. The (1152, 1152)@(1152, 5120) bf16 matmul
-    is an ideal MXU shape and the FLOPs are effectively free; a 0/1
+    every "cheaper" formulation measured SLOWER on the chip in
+    within-session A/Bs of the full beam decode (scripts/ab_reorder.py,
+    batch 384): dense perm matmul 131 ms, fused single-matmul 166 ms,
+    tiled block-diagonal (384/192/96 rows) 142–147 ms, batched (beam×beam)
+    block-diagonal dot_general 292 ms (tiny-matmul lowering pads each 3×3
+    block to MXU tiles), beam-axis take_along_axis gather 334 ms, broadcast
+    multiply-add select 569 ms; no-op bound 108 ms. The
+    (1152, 1152)@(1152, 5120) bf16 matmul is an ideal MXU shape; a 0/1
     permutation matrix is numerically exact (each output row is a
     single-term sum).
     """
@@ -418,10 +431,29 @@ def reorder_cache(cache: DecodeCache, parent: jax.Array) -> DecodeCache:
         out = jnp.dot(perm, flat, preferred_element_type=dtype)
         return out.reshape(buf.shape)
 
-    return DecodeCache(
-        self_k=tuple(permute(k) for k in cache.self_k),
-        self_v=tuple(permute(v) for v in cache.self_v),
-    )
+    bufs = tuple(cache.self_k) + tuple(cache.self_v)
+    if l_chunks <= 1 or step is None:
+        out = tuple(permute(b) for b in bufs)
+    else:
+        l_max = bufs[0].shape[2]
+        w = -(-l_max // l_chunks)
+        out = bufs
+        for c0 in range(0, l_max, w):
+            cw = min(w, l_max - c0)
+
+            def chunk_perm(bs, c0=c0, cw=cw):
+                res = []
+                for buf in bs:
+                    sl = buf[:, :, c0 : c0 + cw, :]
+                    flat = sl.reshape(n, -1)
+                    o = jnp.dot(perm, flat, preferred_element_type=dtype)
+                    res.append(buf.at[:, :, c0 : c0 + cw, :].set(o.reshape(sl.shape)))
+                return tuple(res)
+
+            out = jax.lax.cond(step >= c0, chunk_perm, lambda bs: bs, out)
+
+    nl = len(cache.self_k)
+    return DecodeCache(self_k=out[:nl], self_v=out[nl:])
 
 
 def count_params(params: Any) -> int:

@@ -54,7 +54,7 @@ def main() -> int:
     bos = jnp.full((args.batch,), 4, jnp.int32)
     forbid = jnp.zeros((VOCAB,), bool).at[100:].set(True)
 
-    def block_diag_reorder(cache: DecodeCache, parent) -> DecodeCache:
+    def block_diag_reorder(cache: DecodeCache, parent, step=None) -> DecodeCache:
         # batched (beam×beam) one-hot dot_general — B× fewer FLOPs on paper,
         # but the tiny per-clip matmuls lower terribly (measured 2.2× slower)
         bsz, k = parent.shape
@@ -75,7 +75,7 @@ def main() -> int:
             self_v=tuple(permute(v) for v in cache.self_v),
         )
 
-    def elementwise_reorder(cache: DecodeCache, parent) -> DecodeCache:
+    def elementwise_reorder(cache: DecodeCache, parent, step=None) -> DecodeCache:
         # out[b,i] = Σ_j perm[b,i,j] · flat[b,j] — k broadcast FMA passes on
         # the VPU, no matmul lowering at all
         bsz, k = parent.shape
@@ -95,7 +95,7 @@ def main() -> int:
             self_v=tuple(permute(v) for v in cache.self_v),
         )
 
-    def gather_reorder(cache: DecodeCache, parent) -> DecodeCache:
+    def gather_reorder(cache: DecodeCache, parent, step=None) -> DecodeCache:
         # plain beam-axis take_along_axis (XLA gather lowering)
         bsz, k = parent.shape
 
@@ -109,7 +109,7 @@ def main() -> int:
             self_v=tuple(permute(v) for v in cache.self_v),
         )
 
-    def fused_full_perm_reorder(cache: DecodeCache, parent) -> DecodeCache:
+    def fused_full_perm_reorder(cache: DecodeCache, parent, step=None) -> DecodeCache:
         # full_perm, but all 12 buffers concatenated into ONE matmul
         bsz, k = parent.shape
         flat_parent = (parent + (jnp.arange(bsz) * k)[:, None]).reshape(-1)
@@ -136,7 +136,7 @@ def main() -> int:
         # independent tiles of ``tile`` rows (tile % beam == 0 keeps clips
         # unsplit): a batched (n/tile, tile, tile) @ (n/tile, tile, payload)
         # dot_general with tile/n of the dense FLOPs.
-        def tiled_reorder(cache: DecodeCache, parent) -> DecodeCache:
+        def tiled_reorder(cache: DecodeCache, parent, step=None) -> DecodeCache:
             bsz, k = parent.shape
             n = bsz * k
             assert n % tile == 0 and tile % k == 0
@@ -187,15 +187,21 @@ def main() -> int:
             beam_mod.reorder_cache = prod_reorder
         return fn
 
+    import functools
+
     variants = {
         "full_perm": make(prod_reorder),  # production: dense (B·beam)² matmul
-        "tiled_384": make(make_tiled_reorder(384)),
-        "tiled_192": make(make_tiled_reorder(192)),
-        "tiled_96": make(make_tiled_reorder(96)),
-        "none": make(no_reorder),
+        # step-gated L-chunking: permute only chunks the decode has reached
+        "chunked_2": make(functools.partial(prod_reorder, l_chunks=2)),
+        "chunked_4": make(functools.partial(prod_reorder, l_chunks=4)),
+        "chunked_10": make(functools.partial(prod_reorder, l_chunks=10)),
+        "none": make(lambda cache, parent, step=None: no_reorder(cache, parent)),
     }
     if os.environ.get("CONETTE_AB_ALL"):
         variants.update(
+            tiled_384=make(make_tiled_reorder(384)),
+            tiled_192=make(make_tiled_reorder(192)),
+            tiled_96=make(make_tiled_reorder(96)),
             block_diag=make(block_diag_reorder),
             elementwise=make(elementwise_reorder),
             gather=make(gather_reorder),

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from conette_tpu.models.decoder import (
+    DecodeCache,
     DecoderConfig,
     decode_step,
     init_cross,
@@ -189,6 +190,25 @@ def test_cache_reorder_consistency(params):
     )
     logits2, _ = decode_step(params, CFG, cache2, ctx, ids1, jnp.int32(1))
     np.testing.assert_allclose(_np(logits_r), _np(logits2), atol=1e-5)
+
+
+@pytest.mark.parametrize("l_chunks", [2, 4, 10])
+@pytest.mark.parametrize("step", [0, 3, 9, 19])
+def test_chunked_reorder_equals_dense(l_chunks, step):
+    """Step-gated L-chunked reorder must equal the dense permutation on all
+    written rows (rows > step are zeros during decode, so skipping their
+    permutation is exact)."""
+    rng = np.random.default_rng(4)
+    B, K, H, L, DH = 4, 3, 2, 20, 8
+    n = B * K
+    buf = rng.standard_normal((n, H, L, DH)).astype(np.float32)
+    buf[:, :, step + 1 :, :] = 0.0  # decode invariant: suffix unwritten
+    parent = jnp.asarray(rng.integers(0, K, (B, K)), jnp.int32)
+    cache = DecodeCache(self_k=(jnp.asarray(buf),), self_v=(jnp.asarray(buf),))
+    dense = reorder_cache(cache, parent)
+    chunked = reorder_cache(cache, parent, jnp.int32(step), l_chunks=l_chunks)
+    np.testing.assert_array_equal(_np(dense.self_k[0]), _np(chunked.self_k[0]))
+    np.testing.assert_array_equal(_np(dense.self_v[0]), _np(chunked.self_v[0]))
 
 
 def test_shared_cross_context_equals_expanded(params):
