@@ -172,8 +172,12 @@ def beam_search(
         new_alive = valid & ~finishing
         new_sum = jnp.where(new_alive, scores, NEG)
 
-        # reorder KV cache by parents; retired/dead rows keep arbitrary data
-        cache = reorder_cache(cache, parent, step)
+        # reorder KV cache by parents; retired/dead rows keep arbitrary data.
+        # l_chunks=4: step-gated L-chunking skips the unwritten suffix; the
+        # 2026-08-19 on-chip A/B (scripts/ab_reorder.py, batch 384, full
+        # decode medians) measured chunked_4 87.7 ms vs dense 91.7 ms vs
+        # none-bound 71.2 ms — ~20% off the reorder overhead, exactly.
+        cache = reorder_cache(cache, parent, step, l_chunks=4)
         tok = jnp.where(valid, token, cfg.pad_id).reshape(flat)
 
         return (
