@@ -53,6 +53,13 @@ from conette_tpu.models.decoder import (
 
 NEG = -1.0e30  # finite "-inf": keeps log-softmax NaN-free on dead rows
 
+# Production chunk count for the step-gated L-chunked KV reorder. Module
+# global (read at trace time) so scripts/ab_reorder.py can patch it per
+# variant; 4 won the 2026-08-19 on-chip A/B (full decode medians, batch
+# 384): chunked_4 87.7 ms vs dense 91.7 vs chunked_2 90.1 vs chunked_10
+# 92.1 vs none-bound 71.2.
+REORDER_L_CHUNKS = 4
+
 
 class BeamResult(NamedTuple):
     best_preds: jax.Array  # (B, max_pred_size) best hypothesis (pad-filled)
@@ -173,11 +180,9 @@ def beam_search(
         new_sum = jnp.where(new_alive, scores, NEG)
 
         # reorder KV cache by parents; retired/dead rows keep arbitrary data.
-        # l_chunks=4: step-gated L-chunking skips the unwritten suffix; the
-        # 2026-08-19 on-chip A/B (scripts/ab_reorder.py, batch 384, full
-        # decode medians) measured chunked_4 87.7 ms vs dense 91.7 ms vs
-        # none-bound 71.2 ms — ~20% off the reorder overhead, exactly.
-        cache = reorder_cache(cache, parent, step, l_chunks=4)
+        # Step-gated L-chunking skips the unwritten suffix (~20% off the
+        # reorder overhead, exactly; see REORDER_L_CHUNKS above).
+        cache = reorder_cache(cache, parent, step, l_chunks=REORDER_L_CHUNKS)
         tok = jnp.where(valid, token, cfg.pad_id).reshape(flat)
 
         return (

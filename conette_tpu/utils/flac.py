@@ -172,7 +172,11 @@ def _decode_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
     if blocksize % nparts:
         raise ValueError("FLAC: partition order does not divide block size")
     part_len = blocksize >> part_order
-    if part_len <= order and nparts == 1:
+    if part_len <= order:
+        # RFC 9639 §9.2.7: the first partition holds part_len - order
+        # residuals, so part_len must exceed the predictor order for ANY
+        # partition count (a negative count would silently misalign every
+        # later partition and leave np.empty garbage in `out`).
         raise ValueError("FLAC: first partition has no samples")
     out = np.empty(blocksize - order, np.int64)
     idx = 0
@@ -328,12 +332,23 @@ def decode_flac_bytes(
             blocksize = br.read_uint(16) + 1
         else:
             blocksize = _BLOCKSIZE_CODE[bs_code]
+        # cross-check the frame's sample-rate code against STREAMINFO
+        # (code 0 = "get from STREAMINFO"; 12-14 carry an explicit value)
+        frame_sr = None
         if sr_code == 12:
-            br.read_uint(8)
-        elif sr_code in (13, 14):
-            br.read_uint(16)
+            frame_sr = br.read_uint(8) * 1000
+        elif sr_code == 13:
+            frame_sr = br.read_uint(16)
+        elif sr_code == 14:
+            frame_sr = br.read_uint(16) * 10
         elif sr_code == 15:
             raise ValueError("FLAC: invalid sample rate code")
+        elif sr_code:
+            frame_sr = _SAMPLE_RATE_CODE[sr_code]
+        if frame_sr is not None and frame_sr != sr:
+            raise ValueError(
+                f"FLAC: frame sample rate {frame_sr} != STREAMINFO {sr}"
+            )
         bps = bits if ss_code == 0 else _SAMPLE_SIZE_CODE[ss_code]
         hdr_end_byte = br.pos // 8
         crc8 = br.read_uint(8)
@@ -394,8 +409,6 @@ def decode_flac_bytes(
     if total:
         out = out[:, :total]
     if md5 is not None and md5_expected != b"\x00" * 16:
-        if total and out.shape[1] != total:
-            pass  # trimmed: MD5 covers untrimmed stream; already checked above
         if md5.digest() != md5_expected:
             raise ValueError("FLAC: decoded audio MD5 != STREAMINFO MD5")
     return out.astype(np.int32), sr, bits
@@ -561,7 +574,7 @@ def encode_flac_bytes(
     channels, total = samples.shape
     samples = samples.astype(np.int64)
     lim = 1 << (bits - 1)
-    if samples.min() < -lim or samples.max() > lim - 1:
+    if total and (samples.min() < -lim or samples.max() > lim - 1):
         raise ValueError(f"samples exceed {bits}-bit range")
     if stereo_mode != "indep" and channels != 2:
         raise ValueError("stereo_mode requires 2 channels")

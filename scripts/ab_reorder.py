@@ -33,6 +33,12 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+
+    # sitecustomize pins JAX_PLATFORMS=axon before script code runs; honor an
+    # explicit env override (the CPU smoke test relies on this).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax.numpy as jnp
 
     from conette_tpu.utils.misc import enable_compilation_cache
@@ -162,15 +168,19 @@ def main() -> int:
 
         return tiled_reorder
 
-    def no_reorder(cache: DecodeCache, parent) -> DecodeCache:
+    def no_reorder(cache: DecodeCache, parent, step=None) -> DecodeCache:
         # identity — WRONG results; bounds the reorder's share of decode time
         return cache
 
     prod_reorder = beam_mod.reorder_cache
+    prod_chunks = beam_mod.REORDER_L_CHUNKS
 
-    def make(variant):
-        # reorder_cache is resolved at trace time from the beam module's
-        # global, so swapping it before the first call bakes the variant in
+    def make(variant=None, l_chunks: int = 1):
+        # beam.py's loop body resolves ``reorder_cache`` and
+        # ``REORDER_L_CHUNKS`` from the beam module's globals at trace time,
+        # so patching both before the first call bakes the variant in.
+        # Custom (non-production) reorder fns take (cache, parent, step) —
+        # wrap them to absorb the call site's ``l_chunks=`` keyword.
         def run(mem, j):
             res = beam_mod.beam_search(
                 params, cfg, mem + j * 1e-6, mem_pad, bos,
@@ -180,22 +190,29 @@ def main() -> int:
             return res.best_preds
 
         fn = jax.jit(run)
-        beam_mod.reorder_cache = variant
+        if variant is None:
+            patched = prod_reorder
+        else:
+            def patched(cache, parent, step=None, l_chunks=1, _v=variant):
+                return _v(cache, parent, step)
+
+        beam_mod.reorder_cache = patched
+        beam_mod.REORDER_L_CHUNKS = l_chunks
         try:
             _ = np.asarray(fn(memory, jnp.float32(0)))  # trace+compile now
         finally:
             beam_mod.reorder_cache = prod_reorder
+            beam_mod.REORDER_L_CHUNKS = prod_chunks
         return fn
 
-    import functools
-
     variants = {
-        "full_perm": make(prod_reorder),  # production: dense (B·beam)² matmul
+        "full_perm": make(),  # dense (B·beam)² matmul, no chunking
         # step-gated L-chunking: permute only chunks the decode has reached
-        "chunked_2": make(functools.partial(prod_reorder, l_chunks=2)),
-        "chunked_4": make(functools.partial(prod_reorder, l_chunks=4)),
-        "chunked_10": make(functools.partial(prod_reorder, l_chunks=10)),
-        "none": make(lambda cache, parent, step=None: no_reorder(cache, parent)),
+        # (l_chunks=4 is the production default, beam.py::REORDER_L_CHUNKS)
+        "chunked_2": make(l_chunks=2),
+        "chunked_4": make(l_chunks=4),
+        "chunked_10": make(l_chunks=10),
+        "none": make(no_reorder),
     }
     if os.environ.get("CONETTE_AB_ALL"):
         variants.update(

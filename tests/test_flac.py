@@ -196,3 +196,35 @@ def test_official_flac_accepts_our_streams(tmp_path):
             check=True,
             capture_output=True,
         )
+
+
+def test_frame_sr_code_cross_checked_against_streaminfo():
+    # the frame header carries its own sample-rate code (16000 -> code 5);
+    # corrupting STREAMINFO's 20-bit sr field (streaminfo bytes 10-12) must
+    # now be caught by the frame/STREAMINFO cross-check, not silently decoded
+    # at the wrong rate
+    x = np.arange(1000, dtype=np.int64)[None] % 100
+    data = bytearray(encode_flac_bytes(x, 16000, 16))
+    data[4 + 4 + 11] ^= 0x10  # inside the sr field; frame CRCs unaffected
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_flac_bytes(bytes(data))
+
+
+def test_empty_input_roundtrip():
+    x = np.zeros((1, 0), np.int64)
+    dec, sr, bits = decode_flac_bytes(encode_flac_bytes(x, 16000, 16))
+    assert dec.shape == (1, 0) and sr == 16000 and bits == 16
+
+
+def test_partition_order_exceeding_block_rejected():
+    # RFC 9639: (blocksize >> partition_order) must exceed the predictor
+    # order; a malformed stream violating it must raise, not misalign the
+    # residual buffer (negative first-partition count)
+    from conette_tpu.utils.flac import _BitReader, _decode_residual
+
+    # method=0 (2 bits), partition order=2 (4 bits) -> 4 partitions;
+    # blocksize 16 -> part_len 4 <= order 4
+    raw = bytearray(64)
+    raw[0] = 0b00_0010_00  # method 0, part_order 2, then rice params/zeros
+    with pytest.raises(ValueError, match="first partition"):
+        _decode_residual(_BitReader(bytes(raw)), blocksize=16, order=4)
