@@ -311,6 +311,13 @@ def decode_step(
     """
     b = token_ids.shape[0]
     b_ctx = ctx.memory_pad.shape[0]
+    assert b % b_ctx == 0, (
+        f"token batch {b} is not a multiple of the cross-context clip batch "
+        f"{b_ctx}: decode_step expects CLIP-MAJOR rows (all beams of clip 0, "
+        "then clip 1, ...) with ctx at clip granularity — a mismatched "
+        "ctx/cache pairing would otherwise surface as an opaque reshape "
+        "error or silently wrong logits"
+    )
     beams = b // b_ctx
     dh = cfg.d_model // cfg.nhead
     max_steps = cache.self_k[0].shape[2]

@@ -69,11 +69,36 @@ def _round128(n: int) -> int:
     return -(-n // 128) * 128
 
 
+# Hardware-validated plans: these (t2, f_pad, cp, c2p, itemsize) → tile
+# choices compiled under Mosaic and ran on the real chip (2026-08-19 seam
+# A/B session, on-chip goldens 3/3 + the bench's default-on seam path), so
+# they are ground truth regardless of what the analytic estimate below
+# says. The bench/production 10 s-clip geometry lands exactly here.
+_VALIDATED_PLANS: dict[tuple[int, int, int, int, int], int] = {
+    (125, 56, 128, 256, 2): 25,  # seam 1→2, bf16
+    (62, 32, 256, 384, 2): 62,  # seam 2→3, bf16
+    (31, 16, 384, 768, 2): 31,  # seam 3→4, bf16
+}
+
+
 def plan_downsample(
     t2: int, f_pad: int, cp: int, c2p: int, itemsize: int
 ) -> int | None:
     """Pick the output-time tile (a divisor of ``t2``) whose buffers fit
-    the VMEM budget; None when even the smallest divisor does not fit."""
+    the VMEM budget; None when even the smallest divisor does not fit.
+
+    Hardware-validated geometries come from ``_VALIDATED_PLANS``; everything
+    else goes through a conservative analytic estimate. The estimate counts
+    the normalized-value cast buffer and the per-parity picked copies that
+    the first revision omitted, and keeps ~4 MiB of the 16 MiB VMEM as
+    headroom for Mosaic's own temporaries — an under-estimate here fails
+    Mosaic compile at RUNTIME on the production path (which, unlike
+    bench.py, has no XLA-seam fallback wrapper), so unproven geometries err
+    toward the unfused path instead.
+    """
+    key = (t2, f_pad, cp, c2p, itemsize)
+    if key in _VALIDATED_PLANS:
+        return _VALIDATED_PLANS[key]
     f2p = _round8(f_pad // 2) if f_pad >= 2 else 0
     if f2p == 0:
         return None
@@ -83,13 +108,15 @@ def plan_downsample(
         resident = (
             itemsize * 2 * (2 * tile * f_pad * cp)  # double-buffered DMA slots
             + 4 * 2 * (tile * f_pad * cp)  # f32 LN values (x, x·x reuse)
+            + itemsize * (2 * tile * f_pad * cp)  # normalized yn cast buffer
             + itemsize * 2 * (tile * f2p * f_pad)  # broadcast selection mats
+            + itemsize * 2 * (tile * f2p * cp)  # per-parity picked copies
             + itemsize * (tile * f2p * cp)  # selected rows
             + itemsize * 4 * cp * c2p  # conv weights
             + 4 * tile * f2p * c2p  # f32 matmul accumulator
             + itemsize * tile * f2p * c2p  # out block
         )
-        if resident < 13 * 1024 * 1024:
+        if resident < 12 * 1024 * 1024:
             return tile
     return None
 

@@ -35,13 +35,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# sitecustomize pins JAX_PLATFORMS=axon before any script code runs, so an
-# operator's `JAX_PLATFORMS=cpu` env would silently be ignored (the config
-# must be updated before the first device query) — honor it here.
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+def _honor_platform_env() -> None:
+    """sitecustomize pins JAX_PLATFORMS=axon before any script code runs, so
+    an operator's ``JAX_PLATFORMS=cpu`` env would silently be ignored (the
+    config must be updated before the first device query) — honor it here.
+    Called from ``main()`` after argparse, NOT at import time: ``--help``
+    should not pay the jax import, and merely importing this module must not
+    mutate global jax config."""
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def run_gate(model, fixture_rows, audio_dir: str, published: dict | None,
@@ -179,6 +184,7 @@ def main() -> int:
                              "artifact (the full corpus adds little: the "
                              "program is identical per clip)")
     args = parser.parse_args()
+    _honor_platform_env()
 
     from conette_tpu.huggingface.model import CoNeTTEModel
 
