@@ -30,8 +30,13 @@ loops per batch element; here the state is a fixed (B·beam) batch where
 retired beams are score-masked to -inf (so they sort last and never win),
 the per-batch "top-k over live beams only" is expressed as a rank test
 ``rank < n_alive``, and retired hypotheses are scattered into a static
-(B, beam) store via one-hot matmuls. The decoder KV cache is gathered by
-parent index each step (``reorder_cache``).
+(B, beam) store via one-hot matmuls. The decoder KV cache follows beam
+parents by one of two strategies (``kv_reorder=``): "ancestry" keeps the
+cache physically fixed and resolves the permutation at attention-read time
+through a tiny (B, beam, L) ancestry map, while "physical" permutes the
+buffers with a dense one-hot matmul each step (``reorder_cache``). Both are
+numerically exact (single-term one-hot sums); which one is faster is a chip
+measurement (scripts/ab_reorder.py), not a belief.
 """
 
 from __future__ import annotations
@@ -48,16 +53,29 @@ from conette_tpu.models.decoder import (
     decode_step,
     init_cross,
     init_self,
+    init_self_grouped,
     reorder_cache,
 )
 
 NEG = -1.0e30  # finite "-inf": keeps log-softmax NaN-free on dead rows
 
-# Production chunk count for the step-gated L-chunked KV reorder. Module
-# global (read at trace time) so scripts/ab_reorder.py can patch it per
-# variant; 4 won the 2026-08-19 on-chip A/B (full decode medians, batch
-# 384): chunked_4 87.7 ms vs dense 91.7 vs chunked_2 90.1 vs chunked_10
-# 92.1 vs none-bound 71.2.
+# Production KV-reorder strategy, threaded as ``beam_search`` PARAMETERS
+# (kv_reorder= / l_chunks=) — the r4 module-global patching pattern broke
+# the A/B scripts once (commit 2d63348) and is retired. The module-level
+# defaults below exist only so every call site follows a production flip
+# without edits.
+#
+# "ancestry": reorder-free decode — the self-attention KV cache is NEVER
+#   physically permuted; a tiny (B, beam, L) ancestry map is gathered by
+#   parent each step and the permutation is resolved at attention-read time
+#   (models/decoder.py::decode_step ancestry path).
+# "physical": dense (B·beam)² one-hot permutation matmul each step,
+#   step-gated into ``l_chunks`` L-chunks (the r4 production path; 8
+#   physical formulations measured, dense won — see
+#   models/decoder.py::reorder_cache).
+# Production default = whichever wins the on-chip A/B (scripts/ab_reorder.py,
+# full-decode medians within one session; PROFILE.md records the dated row).
+KV_REORDER = "physical"
 REORDER_L_CHUNKS = 4
 
 
@@ -79,12 +97,23 @@ def beam_search(
     min_pred_size: int = 0,
     max_pred_size: int = 20,
     forbid_rep_mask: jax.Array | None = None,
+    kv_reorder: str | None = None,
+    l_chunks: int | None = None,
 ) -> BeamResult:
     """
     :param memory: (B, T_mem, d_model) projected frame embeddings.
     :param memory_key_padding_mask: (B, T_mem) True = PAD.
     :param bos_ids: (B,) per-example BOS token ids.
+    :param kv_reorder: "ancestry" (reorder-free) or "physical" (dense
+        permutation matmul); None → the production default ``KV_REORDER``.
+    :param l_chunks: step-gated L-chunk count for the physical reorder
+        (ignored by "ancestry"); None → ``REORDER_L_CHUNKS``.
     """
+    kv_reorder = KV_REORDER if kv_reorder is None else kv_reorder
+    if kv_reorder not in ("ancestry", "physical"):
+        raise ValueError(f"unknown kv_reorder {kv_reorder!r}")
+    ancestry_mode = kv_reorder == "ancestry"
+    l_chunks = REORDER_L_CHUNKS if l_chunks is None else l_chunks
     b, t_mem, _ = memory.shape
     k = beam_size
     vocab = cfg.vocab_size
@@ -96,7 +125,10 @@ def beam_search(
     bos_flat = jnp.repeat(bos_ids.astype(jnp.int32), k, axis=0)
 
     ctx = init_cross(params, cfg, memory, memory_key_padding_mask)
-    cache = init_self(cfg, flat, max_pred_size, memory.dtype)
+    if ancestry_mode:
+        cache = init_self_grouped(cfg, b, k, max_pred_size, memory.dtype)
+    else:
+        cache = init_self(cfg, flat, max_pred_size, memory.dtype)
 
     class _State(NamedTuple):
         cache: object
@@ -108,6 +140,7 @@ def beam_search(
         fin_preds: jax.Array  # (B, k, max_pred)
         fin_avg: jax.Array  # (B, k)
         fin_count: jax.Array  # (B,)
+        anc: jax.Array  # (B, k, max_pred) ancestry map (ancestry mode only)
 
     state = _State(
         cache=cache,
@@ -122,10 +155,25 @@ def beam_search(
         fin_preds=jnp.full((b, k, max_pred_size), cfg.pad_id, jnp.int32),
         fin_avg=jnp.zeros((b, k), jnp.float32),
         fin_count=jnp.zeros((b,), jnp.int32),
+        # positions are stamped with the writer's own row at the top of each
+        # step; (1,1,1) placeholder in physical mode keeps the carry tiny
+        anc=jnp.zeros(
+            (b, k, max_pred_size) if ancestry_mode else (1, 1, 1), jnp.int32
+        ),
     )
 
+    own_row = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :, None], (b, k, 1))
+
     def body(state: _State, step: jax.Array):
-        raw, cache = decode_step(params, cfg, state.cache, ctx, state.tok, step)
+        if ancestry_mode:
+            # each physical row writes position ``step`` into its own slot
+            anc = jax.lax.dynamic_update_slice(state.anc, own_row, (0, 0, step))
+            raw, cache = decode_step(
+                params, cfg, state.cache, ctx, state.tok, step, ancestry=anc
+            )
+        else:
+            anc = state.anc
+            raw, cache = decode_step(params, cfg, state.cache, ctx, state.tok, step)
         logits = masked_logits(
             raw,
             step,
@@ -179,10 +227,16 @@ def beam_search(
         new_alive = valid & ~finishing
         new_sum = jnp.where(new_alive, scores, NEG)
 
-        # reorder KV cache by parents; retired/dead rows keep arbitrary data.
-        # Step-gated L-chunking skips the unwritten suffix (~20% off the
-        # reorder overhead, exactly; see REORDER_L_CHUNKS above).
-        cache = reorder_cache(cache, parent, step, l_chunks=REORDER_L_CHUNKS)
+        if ancestry_mode:
+            # the cache is untouched; only the tiny (B, k, L) ancestry map
+            # follows the winners (logical beam q inherits its parent's
+            # lineage, including position ``step`` just stamped above)
+            anc = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
+        else:
+            # reorder KV cache by parents; retired/dead rows keep arbitrary
+            # data. Step-gated L-chunking skips the unwritten suffix (~20%
+            # off the reorder overhead; see REORDER_L_CHUNKS above).
+            cache = reorder_cache(cache, parent, step, l_chunks=l_chunks)
         tok = jnp.where(valid, token, cfg.pad_id).reshape(flat)
 
         return (
@@ -196,6 +250,7 @@ def beam_search(
                 fin_preds=fin_preds,
                 fin_avg=fin_avg,
                 fin_count=fin_count,
+                anc=anc,
             ),
             None,
         )

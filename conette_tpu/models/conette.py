@@ -225,6 +225,8 @@ def forward_generate(
     min_pred_size: int | None = None,
     max_pred_size: int | None = None,
     forbid_rep_mask: jax.Array | None = None,
+    kv_reorder: str | None = None,
+    l_chunks: int | None = None,
 ) -> BeamResult:
     return beam_search(
         params["decoder"],
@@ -236,6 +238,8 @@ def forward_generate(
         min_pred_size=min_pred_size if min_pred_size is not None else cfg.min_pred_size,
         max_pred_size=max_pred_size if max_pred_size is not None else cfg.max_pred_size,
         forbid_rep_mask=forbid_rep_mask,
+        kv_reorder=kv_reorder,
+        l_chunks=l_chunks,
     )
 
 

@@ -280,6 +280,22 @@ def init_self(
     )
 
 
+def init_self_grouped(
+    cfg: DecoderConfig, b_clips: int, beams: int, max_steps: int, dtype
+) -> DecodeCache:
+    """Allocate zeroed self-attention K/V buffers in the GROUPED layout
+    ``(B_clips, H, beams, L_max, dh)`` used by the ancestry (reorder-free)
+    beam decode — beams of one clip sit side by side on one axis so the
+    attention read can stack them along the key-length dim
+    (``decode_step(..., ancestry=...)``)."""
+    dh = cfg.d_model // cfg.nhead
+    zeros = jnp.zeros((b_clips, cfg.nhead, beams, max_steps, dh), dtype)
+    return DecodeCache(
+        self_k=(zeros,) * cfg.num_layers,
+        self_v=(zeros,) * cfg.num_layers,
+    )
+
+
 def init_cache(
     params: Params,
     cfg: DecoderConfig,
@@ -300,6 +316,8 @@ def decode_step(
     ctx: CrossContext,
     token_ids: jax.Array,
     step: jax.Array,
+    *,
+    ancestry: jax.Array | None = None,
 ) -> tuple[jax.Array, DecodeCache]:
     """One incremental decode step.
 
@@ -307,6 +325,19 @@ def decode_step(
         batch B and ``beam = len(token_ids) // B`` consecutive rows share
         each clip's cross K/V (beam=1 for greedy/plain batches).
     :param step: scalar int32 position of ``token_ids`` in the sequence.
+    :param ancestry: optional (B, beam, L_max) int32 map for the
+        REORDER-FREE beam decode: ``ancestry[b, q, j]`` is the local beam
+        row (within clip ``b``) whose cache slot holds logical beam
+        ``q``'s K/V at position ``j``. When given, ``cache`` must be in the
+        GROUPED layout from :func:`init_self_grouped` — the cache is never
+        physically permuted (the beam loop gathers the tiny ancestry map by
+        parent instead of matmul-permuting megabytes of K/V; see
+        ``decoding/beam.py::beam_search(kv_reorder=...)``), and the
+        self-attention read resolves the permutation by stacking a clip's
+        ``beam·L_max`` cache rows along the key axis and one-hot-selecting
+        per position — the same batched tiny-matmul shape class as the
+        cross-attention product, which the r4 trace proved fast on-chip.
+        Entries at positions > ``step`` may be garbage (masked out).
     :returns: ((B·beam, vocab) logits for the next token, updated cache).
     """
     b = token_ids.shape[0]
@@ -320,7 +351,17 @@ def decode_step(
     )
     beams = b // b_ctx
     dh = cfg.d_model // cfg.nhead
-    max_steps = cache.self_k[0].shape[2]
+    if ancestry is not None:
+        assert cache.self_k[0].ndim == 5, (
+            "ancestry decode needs the grouped (B, H, beams, L, dh) cache "
+            "from init_self_grouped"
+        )
+        assert ancestry.shape[:2] == (b_ctx, beams), (
+            f"ancestry {ancestry.shape} != (B_clips={b_ctx}, beams={beams}, L)"
+        )
+        max_steps = cache.self_k[0].shape[3]
+    else:
+        max_steps = cache.self_k[0].shape[2]
 
     x = embedding(params["emb"], token_ids, dtype=ctx.cross_k.dtype)
     x = x * math.sqrt(cfg.d_model)
@@ -350,19 +391,70 @@ def decode_step(
             _split_heads(t, cfg.nhead)
             for t in jnp.split(qkv, 3, axis=-1)
         )  # each (B, H, 1, dh)
-        # one in-place dynamic_update_slice per buffer; the updated buffer
-        # is both the carried state and the attention input (no re-slice)
-        k_buf = jax.lax.dynamic_update_slice(new_self_k[i], k_new, (0, 0, step, 0))
-        v_buf = jax.lax.dynamic_update_slice(new_self_v[i], v_new, (0, 0, step, 0))
-        new_self_k[i] = k_buf
-        new_self_v[i] = v_buf
+        if ancestry is None:
+            # one in-place dynamic_update_slice per buffer; the updated
+            # buffer is both the carried state and the attention input
+            k_buf = jax.lax.dynamic_update_slice(new_self_k[i], k_new, (0, 0, step, 0))
+            v_buf = jax.lax.dynamic_update_slice(new_self_v[i], v_new, (0, 0, step, 0))
+            new_self_k[i] = k_buf
+            new_self_v[i] = v_buf
 
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k_buf, preferred_element_type=jnp.float32
-        ) / math.sqrt(dh)
-        scores = jnp.where(valid[None, None, :, :], scores, NEG_INF)
-        w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        sa_out = jnp.einsum("bhqk,bhkd->bhqd", w, v_buf, preferred_element_type=jnp.float32)
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k_buf, preferred_element_type=jnp.float32
+            ) / math.sqrt(dh)
+            scores = jnp.where(valid[None, None, :, :], scores, NEG_INF)
+            w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            sa_out = jnp.einsum("bhqk,bhkd->bhqd", w, v_buf, preferred_element_type=jnp.float32)
+        else:
+            # reorder-free read: each physical row writes its OWN slot; the
+            # beam permutation is resolved at read time via ``ancestry``.
+            # Stack a clip's (beams · L_max) cache rows along the key axis
+            # and compute q against ALL of them — beams× the (tiny) QK^T
+            # FLOPs, but the K/V buffers are read from HBM exactly once,
+            # like the physical path, and the (B·beam)²-payload permutation
+            # matmul disappears entirely.
+            k_new_g = jnp.swapaxes(
+                k_new.reshape(b_ctx, beams, cfg.nhead, 1, dh), 1, 2
+            )  # (B, H, beams, 1, dh) — tiny transpose of the new slice only
+            v_new_g = jnp.swapaxes(
+                v_new.reshape(b_ctx, beams, cfg.nhead, 1, dh), 1, 2
+            )
+            k_buf = jax.lax.dynamic_update_slice(
+                new_self_k[i], k_new_g, (0, 0, 0, step, 0)
+            )
+            v_buf = jax.lax.dynamic_update_slice(
+                new_self_v[i], v_new_g, (0, 0, 0, step, 0)
+            )
+            new_self_k[i] = k_buf
+            new_self_v[i] = v_buf
+
+            s_len = beams * max_steps
+            kb = k_buf.reshape(b_ctx, cfg.nhead, s_len, dh)
+            vb = v_buf.reshape(b_ctx, cfg.nhead, s_len, dh)
+            qg = q[:, :, 0, :].reshape(b_ctx, beams, cfg.nhead, dh)
+            # same batched-matmul shape class as the cross-attention product
+            # ("bkhd,bhmd->bkhm" with m = beams·L_max instead of T_mem)
+            scores_all = jnp.einsum(
+                "bqhd,bhsd->bqhs", qg, kb, preferred_element_type=jnp.float32
+            ) / math.sqrt(dh)
+            scores_all = scores_all.reshape(
+                b_ctx, beams, cfg.nhead, beams, max_steps
+            )
+            # one-hot select the ancestor row per position (single-term sums
+            # — exact); positions > step are masked below regardless
+            onehot = jax.nn.one_hot(ancestry, beams, dtype=scores_all.dtype)
+            scores = jnp.einsum("bqhsl,bqls->bqhl", scores_all, onehot)
+            scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+            w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)  # (B,q,H,L)
+            # scatter the weights back over the stacked (beams·L) key axis:
+            # w_sel[b,q,h,s,l] = w[b,q,h,l] · 1[ancestry[b,q,l] == s]
+            w_sel = (
+                w[:, :, :, None, :]
+                * jnp.swapaxes(onehot, 2, 3)[:, :, None, :, :].astype(q.dtype)
+            ).reshape(b_ctx, beams, cfg.nhead, s_len)
+            sa_out = jnp.einsum(
+                "bqhs,bhsd->bqhd", w_sel, vb, preferred_element_type=jnp.float32
+            ).reshape(b, cfg.nhead, 1, dh)
         sa_out = linear(sa["out"], _merge_heads(sa_out.astype(x.dtype)))
         x = layer_norm(layer["norm1"], x + sa_out, LN_EPS)
 

@@ -173,47 +173,46 @@ def main() -> int:
         return cache
 
     prod_reorder = beam_mod.reorder_cache
-    prod_chunks = beam_mod.REORDER_L_CHUNKS
 
-    def make(variant=None, l_chunks: int = 1):
-        # beam.py's loop body resolves ``reorder_cache`` and
-        # ``REORDER_L_CHUNKS`` from the beam module's globals at trace time,
-        # so patching both before the first call bakes the variant in.
-        # Custom (non-production) reorder fns take (cache, parent, step) —
-        # wrap them to absorb the call site's ``l_chunks=`` keyword.
+    def make(variant=None, l_chunks: int = 1, kv_reorder: str = "physical"):
+        # Production variants select themselves through beam_search's
+        # kv_reorder=/l_chunks= PARAMETERS (threaded since r5; the r4
+        # module-global patching broke once, commit 2d63348). Custom
+        # experimental reorder fns — (cache, parent, step) — still patch
+        # ``reorder_cache`` around trace time only.
         def run(mem, j):
             res = beam_mod.beam_search(
                 params, cfg, mem + j * 1e-6, mem_pad, bos,
                 beam_size=BEAM, min_pred_size=3, max_pred_size=MAXP,
                 forbid_rep_mask=forbid,
+                kv_reorder=kv_reorder, l_chunks=l_chunks,
             )
             return res.best_preds
 
         fn = jax.jit(run)
-        if variant is None:
-            patched = prod_reorder
-        else:
+        if variant is not None:
             def patched(cache, parent, step=None, l_chunks=1, _v=variant):
                 return _v(cache, parent, step)
 
-        beam_mod.reorder_cache = patched
-        beam_mod.REORDER_L_CHUNKS = l_chunks
+            beam_mod.reorder_cache = patched
         try:
             _ = np.asarray(fn(memory, jnp.float32(0)))  # trace+compile now
         finally:
             beam_mod.reorder_cache = prod_reorder
-            beam_mod.REORDER_L_CHUNKS = prod_chunks
         return fn
 
     variants = {
+        # reorder-free: unpermuted grouped cache + ancestry-indexed
+        # attention read (models/decoder.py decode_step ancestry path)
+        "ancestry": make(kv_reorder="ancestry"),
         "full_perm": make(),  # dense (B·beam)² matmul, no chunking
         # step-gated L-chunking: permute only chunks the decode has reached
-        # (l_chunks=4 is the production default, beam.py::REORDER_L_CHUNKS)
         "chunked_2": make(l_chunks=2),
         "chunked_4": make(l_chunks=4),
-        "chunked_10": make(l_chunks=10),
         "none": make(no_reorder),
     }
+    if os.environ.get("CONETTE_AB_ALL"):
+        variants["chunked_10"] = make(l_chunks=10)
     if os.environ.get("CONETTE_AB_ALL"):
         variants.update(
             tiled_384=make(make_tiled_reorder(384)),
@@ -229,6 +228,17 @@ def main() -> int:
         t0 = time.perf_counter()
         np.asarray(fn(memory, jnp.float32(jit_offset)))
         return time.perf_counter() - t0
+
+    # correctness cross-check: ancestry and the physical reorder must emit
+    # the same tokens (both are exact one-hot selections; a mismatch would
+    # mean a broken formulation, not a numerics nit)
+    if "ancestry" in variants and "full_perm" in variants:
+        a = np.asarray(variants["ancestry"](memory, jnp.float32(0)))
+        p = np.asarray(variants["full_perm"](memory, jnp.float32(0)))
+        print(
+            json.dumps({"ancestry_eq_full_perm": bool((a == p).all())}),
+            file=sys.stderr,
+        )
 
     times = {name: [] for name in variants}
     for i in range(args.iters):  # alternate: every variant sees every window

@@ -103,8 +103,9 @@ def oracle_beam(params, memory, mem_pad, bos_ids, beam, min_pred, max_pred, forb
 
 
 class TestBeamParity:
+    @pytest.mark.parametrize("kv_reorder", ["physical", "ancestry"])
     @pytest.mark.parametrize("use_forbid", [False, True])
-    def test_matches_dynamic_oracle(self, setup, use_forbid):
+    def test_matches_dynamic_oracle(self, setup, use_forbid, kv_reorder):
         params, memory, mem_pad, bos_ids, forbid = setup
         beam, min_p, max_p = 3, 2, 8
         fr = forbid if use_forbid else None
@@ -113,6 +114,7 @@ class TestBeamParity:
             jnp.asarray(bos_ids), beam_size=beam, min_pred_size=min_p,
             max_pred_size=max_p,
             forbid_rep_mask=jnp.asarray(fr) if fr is not None else None,
+            kv_reorder=kv_reorder,
         )
         oracle = oracle_beam(
             params, memory, mem_pad, bos_ids, beam, min_p, max_p, fr
@@ -133,6 +135,41 @@ class TestBeamParity:
             ref_avgs = sorted(a for _, a in finished)
             np.testing.assert_allclose(ours_avgs, ref_avgs, atol=1e-4)
             del ours_toks
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_ancestry_equals_physical(self, seed):
+        """The reorder-free (ancestry-indexed) decode and the physical
+        permutation decode are the same algorithm with different KV-cache
+        bookkeeping — tokens, best scores, and the whole global store must
+        agree across batch/beam/mask/length variations (one-hot selections
+        are single-term sums, so the equality is exact up to f32 contraction
+        order; scores are checked to 1e-5)."""
+        rng = np.random.default_rng(100 + seed)
+        B = [1, 2, 5, 3][seed]
+        beam = [2, 3, 4, 3][seed]
+        T = [4, 7, 5, 6][seed]
+        max_p = [6, 9, 8, 12][seed]
+        params = decoder_init(jax.random.PRNGKey(40 + seed), CFG)
+        memory = jnp.asarray(
+            rng.standard_normal((B, T, CFG.d_model)).astype(np.float32) * 0.5
+        )
+        mem_pad = jnp.asarray(rng.random((B, T)) > 0.8).at[:, 0].set(False)
+        bos_ids = jnp.asarray(rng.integers(1, 8, size=(B,)).astype(np.int32))
+        forbid = jnp.asarray(rng.random(CFG.vocab_size) > 0.5).at[CFG.eos_id].set(False)
+        kw = dict(beam_size=beam, min_pred_size=2, max_pred_size=max_p,
+                  forbid_rep_mask=forbid)
+        a = beam_search(params, CFG, memory, mem_pad, bos_ids,
+                        kv_reorder="ancestry", **kw)
+        p = beam_search(params, CFG, memory, mem_pad, bos_ids,
+                        kv_reorder="physical", **kw)
+        np.testing.assert_array_equal(np.asarray(a.best_preds), np.asarray(p.best_preds))
+        np.testing.assert_array_equal(np.asarray(a.global_preds), np.asarray(p.global_preds))
+        np.testing.assert_allclose(
+            np.asarray(a.best_avg_lprobs), np.asarray(p.best_avg_lprobs), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.global_avg_lprobs), np.asarray(p.global_avg_lprobs), atol=1e-5
+        )
 
     def test_beam1_equals_greedy(self, setup):
         params, memory, mem_pad, bos_ids, forbid = setup
