@@ -1,4 +1,5 @@
-"""Audio-frontend factories.
+"""Audio-frontend factories (renamed from ``frontends.py`` in r5: one letter
+away from ``ops/frontend.py`` — the log-mel op — and doing unrelated work).
 
 Twin of the reference transform factory (``src/conette/transforms/get.py``):
 named offline frontends mapping raw audio → encoder features, used by

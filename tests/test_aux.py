@@ -102,7 +102,7 @@ class TestProfiling:
 
 class TestFrontendFactory:
     def test_spectrogram_frontend(self):
-        from conette_tpu.ops.frontends import get_frontend
+        from conette_tpu.ops.frontend_factories import get_frontend
 
         fn, feat = get_frontend("resample_mean_spectrogram")
         assert feat == 224
@@ -111,7 +111,7 @@ class TestFrontendFactory:
         assert out.shape[1] == 224
 
     def test_unknown_frontend(self):
-        from conette_tpu.ops.frontends import get_frontend
+        from conette_tpu.ops.frontend_factories import get_frontend
 
         with pytest.raises(ValueError):
             get_frontend("nope")

@@ -29,7 +29,7 @@ def test_filterbank_peaks_at_center_frequencies():
 
 
 def test_frontend_entry():
-    from conette_tpu.ops.frontends import get_frontend
+    from conette_tpu.ops.frontend_factories import get_frontend
 
     fn, feat = get_frontend("resample_mean_gammatonegram")
     assert feat == 64
