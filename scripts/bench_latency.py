@@ -17,6 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--wav-seconds", type=float, default=10.0)
+    parser.add_argument("--vocab", type=int, default=4000)
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -28,11 +36,12 @@ def main() -> int:
     )
     from conette_tpu.models.convnext import convnext_apply, convnext_init
 
-    cfg = ConetteConfig(vocab_size=4000)
+    n_wav = int(args.wav_seconds * 32_000)
+    cfg = ConetteConfig(vocab_size=args.vocab)
     ke, km = jax.random.split(jax.random.PRNGKey(0))
     enc_params = convnext_init(ke)
     model_params = conette_init(km, cfg)
-    forbid = jnp.zeros((4000,), bool).at[100:].set(True)
+    forbid = jnp.zeros((args.vocab,), bool).at[100:].set(True)
 
     @jax.jit
     def pipeline(enc_params, model_params, waveform, jitter, lens, bos_ids):
@@ -47,14 +56,14 @@ def main() -> int:
         return res.best_preds
 
     rng = np.random.default_rng(0)
-    wav = jnp.asarray(rng.standard_normal((1, 320_000)).astype(np.float32) * 0.1)
-    lens = jnp.asarray([320_000], jnp.int32)
+    wav = jnp.asarray(rng.standard_normal((1, n_wav)).astype(np.float32) * 0.1)
+    lens = jnp.asarray([n_wav], jnp.int32)
     bos = jnp.asarray([4], jnp.int32)
 
     _ = np.asarray(pipeline(enc_params, model_params, wav, jnp.float32(0), lens, bos))
 
     lat = []
-    for i in range(20):
+    for i in range(args.iters):
         t0 = time.perf_counter()
         out = np.asarray(
             pipeline(enc_params, model_params, wav, jnp.float32(i + 1), lens, bos)

@@ -23,7 +23,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from conette_tpu.utils.audio_io import save_wav  # noqa: E402
 from conette_tpu.utils.flac import encode_flac_bytes  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "data", "flac")
+# optional argv override lets the smoke test write into a tmp dir instead of
+# touching the checked-in fixtures
+OUT_DIR = (
+    sys.argv[1]
+    if len(sys.argv) > 1
+    else os.path.join(os.path.dirname(__file__), "..", "tests", "data", "flac")
+)
 
 
 def main() -> None:

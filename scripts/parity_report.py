@@ -17,9 +17,12 @@ tests/test_reference_parity.py.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-from conette_tpu import parity
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from conette_tpu import parity  # noqa: E402
 
 
 def main() -> int:
