@@ -1,17 +1,32 @@
 """Benchmark: end-to-end captioning throughput (clips/sec) at beam=3.
 
-Measures the flagship inference path on the available accelerator —
-waveform → log-mel → ConvNeXt-Tiny → projection → beam-3 decode (20 steps,
-static KV cache), batch of 10 s clips — and compares against a
-PyTorch-CPU reference-style pipeline (torch ConvNeXt twin + torch
-TransformerDecoder + Python beam loop re-running the full prefix each step
-without a KV cache, as the reference does — nn/decoding/beam.py:113-127).
+Measures the flagship inference path on the available accelerator and
+compares against a PyTorch-CPU reference-style pipeline (torch ConvNeXt twin
++ torch TransformerDecoder + Python beam loop re-running the full prefix each
+step without a KV cache, as the reference does — nn/decoding/beam.py:113-127).
+
+Two measured variants (VERDICT r4 next #2 made the realistic one the
+headline):
+
+- ``realistic44k`` (HEADLINE): 44.1 kHz input clips (Clotho's native rate,
+  transforms/get.py:650-660) resampled →32 kHz INSIDE the measured window by
+  the device polyphase resampler (the flagship path's resample stage,
+  huggingface/preprocessor.py:134-141 in the reference), and an EOS-biased
+  decoder so caption lengths match the released checkpoint's distribution
+  (mean ≈11.6 tokens incl. EOS on Clotho-eval, max 18 — measured from
+  results/detailed_outputs/outputs_clotho_eval.csv), exercising the beam
+  loop's all-finished early exit that a max-length decode never hits.
+- ``maxlen32k`` (legacy, kept for round-to-round continuity with
+  BENCH_r01..r04): 32 kHz input, random weights, every beam runs the full
+  20 steps.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N, ...}
 
-The CPU baseline is cached in .bench_cpu_baseline.json (it is a property of
-the host, not of our code under test).
+The CPU baselines are cached in .bench_cpu_baseline.json (they are a
+property of the host, not of our code under test). The train-step
+throughput (scripts/bench_train.py) is embedded as ``train_*`` keys so
+train-side perf regressions are driver-visible per round (VERDICT #7).
 """
 
 from __future__ import annotations
@@ -30,21 +45,41 @@ import numpy as np
 BATCH = 384
 CLIP_SECONDS = 10
 SR = 32_000
+SR_IN = 44_100  # Clotho's native rate; the realistic variant feeds this
 VOCAB = 4000
 BEAM = 3
 MAX_PRED = 20
 MIN_PRED = 3
 CACHE_FILE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
 
+# EOS logit bias for the realistic variant: added to the (random-weight)
+# classifier bias at eos_id so beams retire with released-checkpoint-like
+# lengths (mean ≈11.6 incl. EOS). Tuned per stack (the torch baseline's
+# random weights have a different logit scale); override with
+# CONETTE_BENCH_EOS_BIAS / CONETTE_BENCH_EOS_BIAS_TORCH. The bench prints
+# the MEASURED mean length to stderr and the JSON so the realism claim is
+# checkable per round, not assumed.
+EOS_BIAS = float(os.environ.get("CONETTE_BENCH_EOS_BIAS", 2.45))
+EOS_BIAS_TORCH = float(os.environ.get("CONETTE_BENCH_EOS_BIAS_TORCH", 2.45))
 
 # Analytic FLOPs per 10 s clip (batch-independent): ConvNeXt-Tiny encoder
 # ~40 GFLOP (stem + 4 stages pw/dw convs) + DFT-as-matmul frontend ~4.2 GFLOP
 # + beam-3 decode (20 steps x 6 layers + classifier) ~1.0 GFLOP.
 FLOPS_PER_CLIP = 45.2e9
+# realistic variant adds the 44.1→32 kHz polyphase conv (320k out samples ×
+# 5.3k taps × 2) ≈ +3.4 GFLOP and runs ~12/20 of the decode steps (-0.4).
+FLOPS_PER_CLIP_REALISTIC = 48.2e9
 V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
 
 
-def bench_tpu(batch: int = BATCH, iters: int = 5, repeats: int = 4) -> float:
+def bench_tpu(
+    batch: int = BATCH,
+    iters: int = 5,
+    repeats: int = 4,
+    variant: str = "maxlen32k",
+) -> tuple[float, float]:
+    """Returns (best clips/s over ``repeats`` rounds, measured mean caption
+    length incl. EOS)."""
     import jax
     import jax.numpy as jnp
 
@@ -65,6 +100,11 @@ def bench_tpu(batch: int = BATCH, iters: int = 5, repeats: int = 4) -> float:
         forward_generate,
     )
     from conette_tpu.models.convnext import convnext_apply, convnext_init
+    from conette_tpu.ops.resample import resample
+
+    realistic = variant == "realistic44k"
+    eos_real = realistic or variant == "eosreal32k"
+    sr_in = SR_IN if realistic else SR
 
     cfg = ConetteConfig(vocab_size=VOCAB, beam_size=BEAM, min_pred_size=MIN_PRED,
                         max_pred_size=MAX_PRED)
@@ -72,6 +112,11 @@ def bench_tpu(batch: int = BATCH, iters: int = 5, repeats: int = 4) -> float:
     ke, km = jax.random.split(key)
     enc_params = convnext_init(ke)
     model_params = conette_init(km, cfg)
+    if eos_real:
+        dec = model_params["decoder"]
+        dec["classifier"]["bias"] = (
+            dec["classifier"]["bias"].at[cfg.eos_id].add(EOS_BIAS)
+        )
     forbid = jnp.zeros((VOCAB,), bool).at[100:].set(True)
 
     @jax.jit
@@ -80,6 +125,12 @@ def bench_tpu(batch: int = BATCH, iters: int = 5, repeats: int = 4) -> float:
         # dispatch (remote relays may memoize identical calls) without
         # re-uploading inputs
         waveform = waveform + jitter * 1e-6
+        if realistic:
+            # the flagship path's resample stage, inside the measured
+            # window: device polyphase FIR (f32, golden-tested vs the
+            # recorded torchaudio fixtures protocol)
+            waveform = resample(waveform, SR_IN, SR)
+            lens = jnp.round(lens * (SR / SR_IN)).astype(jnp.int32)
         outs = convnext_apply(enc_params, waveform, lens, compute_dtype=jnp.bfloat16)
         audio = jnp.swapaxes(outs["frame_embs"], 1, 2)
         memory, pad_mask = encode_audio(model_params, cfg, audio, outs["frame_embs_lens"])
@@ -90,14 +141,23 @@ def bench_tpu(batch: int = BATCH, iters: int = 5, repeats: int = 4) -> float:
         return res.best_preds, res.best_avg_lprobs
 
     rng = np.random.default_rng(0)
-    waveform = jnp.asarray(rng.standard_normal((batch, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
-    lens = jnp.full((batch,), CLIP_SECONDS * SR, jnp.int32)
+    waveform = jnp.asarray(
+        rng.standard_normal((batch, CLIP_SECONDS * sr_in)).astype(np.float32) * 0.1
+    )
+    lens = jnp.full((batch,), CLIP_SECONDS * sr_in, jnp.int32)
     bos_ids = jnp.full((batch,), 4, jnp.int32)
 
     # warmup/compile — fetch to host to force completion (block_until_ready
     # is unreliable over tunneled PJRT backends)
-    _ = np.asarray(
+    warm_preds = np.asarray(
         pipeline(enc_params, model_params, waveform, jnp.float32(0), lens, bos_ids)[0]
+    )
+    mean_len = float((warm_preds != cfg.pad_id).sum(axis=1).mean())
+    print(
+        f"[{variant}] mean caption length (incl. EOS): {mean_len:.1f} "
+        f"(target ≈11.6 for realistic variants; max across batch "
+        f"{int((warm_preds != cfg.pad_id).sum(axis=1).max())})",
+        file=sys.stderr,
     )
 
     # Best-of-``repeats`` rounds (the timeit/min convention): the tunneled
@@ -119,17 +179,24 @@ def bench_tpu(batch: int = BATCH, iters: int = 5, repeats: int = 4) -> float:
             np.asarray(preds)  # force completion + host fetch of the token ids
         dt = time.perf_counter() - t0
         cps = batch * iters / dt
-        print(f"bench round {r + 1}/{repeats}: {cps:.1f} clips/s", file=sys.stderr)
+        print(f"bench[{variant}] round {r + 1}/{repeats}: {cps:.1f} clips/s",
+              file=sys.stderr)
         best = max(best, cps)
-    return best
+    return best, mean_len
 
 
-def bench_cpu_torch() -> float:
-    """Reference-style PyTorch-CPU pipeline (no KV cache, Python beam loop)."""
+def bench_cpu_torch(variant: str = "maxlen32k") -> float:
+    """Reference-style PyTorch-CPU pipeline (no KV cache, Python beam loop).
+    The ``realistic44k`` variant resamples 44.1→32 kHz with the same
+    polyphase filter bank (torchaudio-default math) as a strided conv1d and
+    carries the same EOS bias, so both stacks measure the same task."""
     import torch
     import torch.nn as tnn
 
     from conette_tpu.ops.mel import mel_filterbank
+    from conette_tpu.ops.resample import resample_kernel
+
+    realistic = variant == "realistic44k"
 
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count() or 8)
@@ -194,13 +261,32 @@ def bench_cpu_torch() -> float:
     decoder = tnn.TransformerDecoder(layer, 6)
     emb = tnn.Embedding(VOCAB, 256, padding_idx=0)
     classifier = tnn.Linear(256, VOCAB)
+    if realistic:
+        with torch.no_grad():
+            classifier.bias[2] += EOS_BIAS_TORCH
     proj = tnn.Linear(768, 256)
     encoder = Encoder()
     for m in (encoder, decoder, emb, classifier, proj):
         m.eval()
 
+    if realistic:
+        kern_np, _width = resample_kernel(SR_IN, SR)
+        kern = torch.from_numpy(kern_np)[:, None, :]  # (new, 1, K)
+        orig = SR_IN // math.gcd(SR_IN, SR)
+        width = _width
+        target = int(math.ceil((SR / math.gcd(SR_IN, SR)) * CLIP_SECONDS * SR_IN
+                               / orig))
+
+        def do_resample(wav: torch.Tensor) -> torch.Tensor:
+            x = torch.nn.functional.pad(wav[:, None, :], (width, width + orig))
+            y = torch.nn.functional.conv1d(x, kern, stride=orig)
+            y = y.transpose(1, 2).reshape(wav.shape[0], -1)
+            return y[:, :target]
+
     @torch.no_grad()
     def caption(wav: torch.Tensor) -> list[int]:
+        if realistic:
+            wav = do_resample(wav)
         frames = encoder(wav)  # (1, 768, T')
         memory = proj(frames.transpose(1, 2)).transpose(0, 1)  # (T', 1, 256)
         memory = memory.repeat(1, BEAM, 1)
@@ -243,15 +329,46 @@ def bench_cpu_torch() -> float:
                 break
         return max(finished, key=lambda x: x[1])[0]
 
+    sr_in = SR_IN if realistic else SR
     rng = np.random.default_rng(0)
-    wav = torch.from_numpy(rng.standard_normal((1, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
-    caption(wav)  # warmup
+    wav = torch.from_numpy(
+        rng.standard_normal((1, CLIP_SECONDS * sr_in)).astype(np.float32) * 0.1
+    )
+    first = caption(wav)  # warmup
+    print(
+        f"cpu baseline[{variant}] warmup caption length: {len(first) - 1}",
+        file=sys.stderr,
+    )
     n = 3
     t0 = time.perf_counter()
     for _ in range(n):
         caption(wav)
     dt = time.perf_counter() - t0
     return n / dt
+
+
+def _cpu_baseline(variant: str) -> float:
+    """Per-variant cached torch-CPU baseline (a property of the host). The
+    realistic baseline is re-measured if the torch EOS bias changed (the
+    bias changes how many steps the Python beam loop runs)."""
+    key = {"maxlen32k": "clips_per_sec", "realistic44k": "realistic_clips_per_sec"}[
+        variant
+    ]
+    cache: dict = {}
+    if os.path.isfile(CACHE_FILE):
+        with open(CACHE_FILE) as f:
+            cache = json.load(f)
+    stale = (
+        variant == "realistic44k"
+        and cache.get("realistic_eos_bias") != EOS_BIAS_TORCH
+    )
+    if key not in cache or stale:
+        cache[key] = bench_cpu_torch(variant)
+        if variant == "realistic44k":
+            cache["realistic_eos_bias"] = EOS_BIAS_TORCH
+        with open(CACHE_FILE, "w") as f:
+            json.dump(cache, f)
+    return cache[key]
 
 
 def _probe_device(
@@ -287,7 +404,7 @@ def _probe_device(
             # the tunnel also fails TRANSIENTLY with fast backend errors
             # (observed: FAILED_PRECONDITION on a plain 8x8 fetch while the
             # relay recovers) — retry those like a stall; only a genuinely
-            # broken install (import errors, bad flags) aborts immediately
+            # broken install (import errors, bad flags) aborts immediately.
             # anchored patterns ("UNAVAILABLE:" not bare "UNAVAILABLE"):
             # bare substrings appear in many PERSISTENT absl/gRPC failure
             # strings, which would retry through the full ~25 min envelope
@@ -335,19 +452,29 @@ def _hard_exit(rc: int) -> None:
     os._exit(rc)
 
 
+def _measure_train() -> dict | None:
+    """Train-step throughput as part of the round artifact (VERDICT #7);
+    never allowed to sink the bench."""
+    if os.environ.get("CONETTE_BENCH_SKIP_TRAIN"):
+        return None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        from bench_train import measure_train
+
+        return measure_train(iters=10)
+    except Exception as e:  # noqa: BLE001
+        print(f"train bench failed (non-fatal): {e!r}", file=sys.stderr)
+        return None
+
+
 def main() -> int:
-    if os.path.isfile(CACHE_FILE):
-        with open(CACHE_FILE) as f:
-            cpu_cps = json.load(f)["clips_per_sec"]
-    else:
-        cpu_cps = bench_cpu_torch()
-        with open(CACHE_FILE, "w") as f:
-            json.dump({"clips_per_sec": cpu_cps}, f)
+    cpu_cps = _cpu_baseline("realistic44k")
 
     fused_seams = True
     fallback_reason = None
     try:
-        tpu_cps = bench_tpu()
+        tpu_cps, mean_len = bench_tpu(variant="realistic44k")
+        legacy_cps, _ = bench_tpu(variant="maxlen32k", repeats=2)
     except Exception as e:  # noqa: BLE001 — never lose the bench artifact
         # A freshly-landed Pallas kernel can fail Mosaic compile on the real
         # chip before any tunnel window existed to validate it (interpret
@@ -363,17 +490,30 @@ def main() -> int:
         _cv._FUSED_SEAMS = False
         fused_seams = False
         fallback_reason = f"{type(e).__name__}: {str(e)[:300]}"
-        tpu_cps = bench_tpu()
+        tpu_cps, mean_len = bench_tpu(variant="realistic44k")
+        legacy_cps, _ = bench_tpu(variant="maxlen32k", repeats=2)
+
+    train = _measure_train()
+
     # the fallback downgrade is recorded in the artifact so a round that
     # measured the XLA seam path is distinguishable from a fused-seams one
     payload = {
-        "metric": "captioning_throughput_beam3_10s_clips",
+        "metric": "captioning_throughput_beam3_10s_clips_44k_eosreal",
         "value": round(tpu_cps, 3),
         "unit": "clips/s",
         "vs_baseline": round(tpu_cps / cpu_cps, 2),
-        "mfu": round(tpu_cps * FLOPS_PER_CLIP / V5E_PEAK_FLOPS, 4),
+        "mfu": round(tpu_cps * FLOPS_PER_CLIP_REALISTIC / V5E_PEAK_FLOPS, 4),
+        "mean_caption_len": round(mean_len, 1),
+        # legacy metric (32 kHz input, max-length decode) for continuity
+        # with BENCH_r01..r04's "captioning_throughput_beam3_10s_clips"
+        "legacy_maxlen32k_clips_per_s": round(legacy_cps, 3),
+        "legacy_vs_baseline": round(legacy_cps / _cpu_baseline("maxlen32k"), 2),
+        "legacy_mfu": round(legacy_cps * FLOPS_PER_CLIP / V5E_PEAK_FLOPS, 4),
         "fused_seams": fused_seams,
     }
+    if train is not None:
+        payload["train_samples_per_s"] = train["samples_per_s"]
+        payload["train_projected_epoch_s"] = train["projected_epoch_s"]
     if fallback_reason is not None:
         payload["fallback"] = fallback_reason
     print(json.dumps(payload))
@@ -438,6 +578,9 @@ def profile() -> int:
     t_mel = t_of(mel_only, wav)
     t_enc = t_of(enc_only, wav, lens)
     t_full = t_of(full, wav, lens, bos)
+    # variant cross-section (throughput at identical methodology, one window)
+    real_cps, real_len = bench_tpu(variant="realistic44k", iters=3, repeats=2)
+    eos32_cps, eos32_len = bench_tpu(variant="eosreal32k", iters=3, repeats=2)
     report = {
         "batch": BATCH,
         "mel_ms": round(t_mel * 1000, 1),
@@ -446,6 +589,10 @@ def profile() -> int:
         "decode_ms": round((t_full - t_enc) * 1000, 1),
         "clips_per_s": round(BATCH / t_full, 1),
         "mfu": round(BATCH / t_full * FLOPS_PER_CLIP / V5E_PEAK_FLOPS, 4),
+        "variant_realistic44k_clips_per_s": round(real_cps, 1),
+        "variant_realistic44k_mean_len": round(real_len, 1),
+        "variant_eosreal32k_clips_per_s": round(eos32_cps, 1),
+        "variant_eosreal32k_mean_len": round(eos32_len, 1),
     }
     trace_dir = os.path.join(os.path.dirname(__file__), ".bench_profile")
     os.makedirs(trace_dir, exist_ok=True)
@@ -466,10 +613,27 @@ def sweep() -> int:
     out = {}
     for batch in (128, 256, 384, 512):
         try:
-            out[batch] = round(bench_tpu(batch, iters=3, repeats=2), 1)
+            out[batch] = round(bench_tpu(batch, iters=3, repeats=2)[0], 1)
         except Exception as err:  # OOM etc.
             out[batch] = f"failed: {err}"
         print(json.dumps({"batch_sweep": out}))
+    return 0
+
+
+def tune_eos() -> int:
+    """--tune-eos: sweep EOS bias values and print the measured mean caption
+    length per value (one warmup dispatch each) — used once per stack to pin
+    EOS_BIAS so the realistic variant's lengths match the released
+    checkpoint's (mean ≈11.6 incl. EOS)."""
+    global EOS_BIAS
+    out = {}
+    for bias in [float(b) for b in os.environ.get(
+        "CONETTE_BENCH_EOS_SWEEP", "1.5,2.0,2.5,3.0,3.5"
+    ).split(",")]:
+        EOS_BIAS = bias
+        _, mean_len = bench_tpu(variant="eosreal32k", iters=1, repeats=1)
+        out[str(bias)] = round(mean_len, 2)
+        print(json.dumps({"eos_bias_to_mean_len": out}))
     return 0
 
 
@@ -481,4 +645,6 @@ if __name__ == "__main__":
         _hard_exit(profile())
     if "--sweep" in sys.argv:
         _hard_exit(sweep())
+    if "--tune-eos" in sys.argv:
+        _hard_exit(tune_eos())
     _hard_exit(main())
