@@ -11,11 +11,18 @@ headline):
 - ``realistic44k`` (HEADLINE): 44.1 kHz input clips (Clotho's native rate,
   transforms/get.py:650-660) resampled →32 kHz INSIDE the measured window by
   the device polyphase resampler (the flagship path's resample stage,
-  huggingface/preprocessor.py:134-141 in the reference), and an EOS-biased
-  decoder so caption lengths match the released checkpoint's distribution
+  huggingface/preprocessor.py:134-141 in the reference), and SCRIPTED
+  caption lengths matching the released checkpoint's distribution
   (mean ≈11.6 tokens incl. EOS on Clotho-eval, max 18 — measured from
-  results/detailed_outputs/outputs_clotho_eval.csv), exercising the beam
-  loop's all-finished early exit that a max-length decode never hits.
+  results/detailed_outputs/outputs_clotho_eval.csv): each clip gets a
+  target length sampled from that distribution and a per-clip EOS bias
+  schedule forces its beams to retire there, so the beam while_loop runs
+  exactly as many steps as the longest caption in the batch (≈18), the
+  all-finished early exit fires as it would under real weights, and the
+  printed mean length is checkable. (A single global EOS bias cannot do
+  this: measured on both stacks, a constant bias has a cliff — beams
+  either retire at min_pred+1 or never — because random-weight logits
+  have no per-step length signal.)
 - ``maxlen32k`` (legacy, kept for round-to-round continuity with
   BENCH_r01..r04): 32 kHz input, random weights, every beam runs the full
   20 steps.
@@ -52,22 +59,37 @@ MAX_PRED = 20
 MIN_PRED = 3
 CACHE_FILE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
 
-# EOS logit bias for the realistic variant: added to the (random-weight)
-# classifier bias at eos_id so beams retire with released-checkpoint-like
-# lengths (mean ≈11.6 incl. EOS). Tuned per stack (the torch baseline's
-# random weights have a different logit scale); override with
-# CONETTE_BENCH_EOS_BIAS / CONETTE_BENCH_EOS_BIAS_TORCH. The bench prints
-# the MEASURED mean length to stderr and the JSON so the realism claim is
-# checkable per round, not assumed.
-EOS_BIAS = float(os.environ.get("CONETTE_BENCH_EOS_BIAS", 2.45))
-EOS_BIAS_TORCH = float(os.environ.get("CONETTE_BENCH_EOS_BIAS_TORCH", 2.45))
+# Released-checkpoint caption-length distribution (incl. EOS) on Clotho-eval
+# (results/detailed_outputs/outputs_clotho_eval.csv: mean ≈11.6, max 18).
+# The realistic variants sample per-clip target lengths from a clipped
+# normal with these stats and force EOS there via beam_search's
+# eos_bias_schedule; the bench prints the MEASURED mean/max length so the
+# realism claim is checkable per round, not assumed.
+LEN_MEAN, LEN_STD, LEN_MIN, LEN_MAX = 11.6, 2.6, 5, 18
+EOS_FORCE = 1.0e4  # dominates any random-weight logit; NEG min-len mask still wins
+
+
+def target_lengths(n: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return np.clip(
+        np.round(rng.normal(LEN_MEAN, LEN_STD, n)), LEN_MIN, LEN_MAX
+    ).astype(np.int32)
+
+
+def eos_schedule(lengths: np.ndarray, max_pred: int = MAX_PRED) -> np.ndarray:
+    # force EOS at step >= L-1 so the caption is exactly L tokens incl. EOS
+    steps = np.arange(max_pred)[None, :]
+    return np.where(steps >= lengths[:, None] - 1, EOS_FORCE, 0.0).astype(
+        np.float32
+    )
 
 # Analytic FLOPs per 10 s clip (batch-independent): ConvNeXt-Tiny encoder
 # ~40 GFLOP (stem + 4 stages pw/dw convs) + DFT-as-matmul frontend ~4.2 GFLOP
 # + beam-3 decode (20 steps x 6 layers + classifier) ~1.0 GFLOP.
 FLOPS_PER_CLIP = 45.2e9
 # realistic variant adds the 44.1→32 kHz polyphase conv (320k out samples ×
-# 5.3k taps × 2) ≈ +3.4 GFLOP and runs ~12/20 of the decode steps (-0.4).
+# 5.3k taps × 2) ≈ +3.4 GFLOP; the beam while_loop exits at the batch's max
+# scripted length (≈18/20 steps, -0.1 → rounded into the same total).
 FLOPS_PER_CLIP_REALISTIC = 48.2e9
 V5E_PEAK_FLOPS = 197e12  # bf16 peak of one v5e chip
 
@@ -112,11 +134,9 @@ def bench_tpu(
     ke, km = jax.random.split(key)
     enc_params = convnext_init(ke)
     model_params = conette_init(km, cfg)
-    if eos_real:
-        dec = model_params["decoder"]
-        dec["classifier"]["bias"] = (
-            dec["classifier"]["bias"].at[cfg.eos_id].add(EOS_BIAS)
-        )
+    sched = (
+        jnp.asarray(eos_schedule(target_lengths(batch))) if eos_real else None
+    )
     forbid = jnp.zeros((VOCAB,), bool).at[100:].set(True)
 
     @jax.jit
@@ -136,7 +156,8 @@ def bench_tpu(
         memory, pad_mask = encode_audio(model_params, cfg, audio, outs["frame_embs_lens"])
         memory = memory.astype(jnp.bfloat16)  # bf16 KV cache / decode memory
         res = forward_generate(
-            model_params, cfg, memory, pad_mask, bos_ids, forbid_rep_mask=forbid
+            model_params, cfg, memory, pad_mask, bos_ids,
+            forbid_rep_mask=forbid, eos_bias_schedule=sched,
         )
         return res.best_preds, res.best_avg_lprobs
 
@@ -152,13 +173,29 @@ def bench_tpu(
     warm_preds = np.asarray(
         pipeline(enc_params, model_params, waveform, jnp.float32(0), lens, bos_ids)[0]
     )
-    mean_len = float((warm_preds != cfg.pad_id).sum(axis=1).mean())
+    # length = first-EOS position + 1; random weights can emit token 0
+    # (= pad_id) as a content token, so counting non-pad would undercount.
+    # Rows with no EOS (maxlen32k variant) ran the full MAX_PRED steps.
+    has_eos = (warm_preds == cfg.eos_id).any(axis=1)
+    got_lens = np.where(
+        has_eos, np.argmax(warm_preds == cfg.eos_id, axis=1) + 1, MAX_PRED
+    )
+    mean_len = float(got_lens.mean())
     print(
         f"[{variant}] mean caption length (incl. EOS): {mean_len:.1f} "
-        f"(target ≈11.6 for realistic variants; max across batch "
-        f"{int((warm_preds != cfg.pad_id).sum(axis=1).max())})",
+        f"(target ≈{LEN_MEAN} for realistic variants; max across batch "
+        f"{int(got_lens.max())})",
         file=sys.stderr,
     )
+    if sched is not None:
+        want = target_lengths(batch)
+        if not (np.asarray(got_lens) == want).all():
+            print(
+                f"[{variant}] WARNING: scripted lengths not honored "
+                f"({int((np.asarray(got_lens) != want).sum())}/{batch} clips "
+                "differ) — the realism claim does not hold for this run",
+                file=sys.stderr,
+            )
 
     # Best-of-``repeats`` rounds (the timeit/min convention): the tunneled
     # chip is time-sliced between tenants (PROFILE.md "chip reality"), so a
@@ -261,9 +298,6 @@ def bench_cpu_torch(variant: str = "maxlen32k") -> float:
     decoder = tnn.TransformerDecoder(layer, 6)
     emb = tnn.Embedding(VOCAB, 256, padding_idx=0)
     classifier = tnn.Linear(256, VOCAB)
-    if realistic:
-        with torch.no_grad():
-            classifier.bias[2] += EOS_BIAS_TORCH
     proj = tnn.Linear(768, 256)
     encoder = Encoder()
     for m in (encoder, decoder, emb, classifier, proj):
@@ -306,6 +340,12 @@ def bench_cpu_torch(variant: str = "maxlen32k") -> float:
             logits = classifier(out[-1])  # (beam, vocab)
             if i < MIN_PRED:
                 logits[:, 2] = -math.inf
+            elif realistic and i >= round(LEN_MEAN) - 1:
+                # scripted caption length (mean of the released-checkpoint
+                # distribution) — same forcing the TPU side's
+                # eos_bias_schedule applies, so both stacks run a
+                # realistic number of Python/while_loop decode steps
+                logits[:, 2] += EOS_FORCE
             lp = torch.log_softmax(logits, dim=-1)
             if i == 0:
                 cand = lp[0:1]
@@ -349,8 +389,8 @@ def bench_cpu_torch(variant: str = "maxlen32k") -> float:
 
 def _cpu_baseline(variant: str) -> float:
     """Per-variant cached torch-CPU baseline (a property of the host). The
-    realistic baseline is re-measured if the torch EOS bias changed (the
-    bias changes how many steps the Python beam loop runs)."""
+    realistic baseline is re-measured if the length-scripting scheme
+    changed (it changes how many steps the Python beam loop runs)."""
     key = {"maxlen32k": "clips_per_sec", "realistic44k": "realistic_clips_per_sec"}[
         variant
     ]
@@ -358,14 +398,15 @@ def _cpu_baseline(variant: str) -> float:
     if os.path.isfile(CACHE_FILE):
         with open(CACHE_FILE) as f:
             cache = json.load(f)
+    len_mode = f"scripted{round(LEN_MEAN)}"
     stale = (
         variant == "realistic44k"
-        and cache.get("realistic_eos_bias") != EOS_BIAS_TORCH
+        and cache.get("realistic_len_mode") != len_mode
     )
     if key not in cache or stale:
         cache[key] = bench_cpu_torch(variant)
         if variant == "realistic44k":
-            cache["realistic_eos_bias"] = EOS_BIAS_TORCH
+            cache["realistic_len_mode"] = len_mode
         with open(CACHE_FILE, "w") as f:
             json.dump(cache, f)
     return cache[key]
@@ -620,23 +661,6 @@ def sweep() -> int:
     return 0
 
 
-def tune_eos() -> int:
-    """--tune-eos: sweep EOS bias values and print the measured mean caption
-    length per value (one warmup dispatch each) — used once per stack to pin
-    EOS_BIAS so the realistic variant's lengths match the released
-    checkpoint's (mean ≈11.6 incl. EOS)."""
-    global EOS_BIAS
-    out = {}
-    for bias in [float(b) for b in os.environ.get(
-        "CONETTE_BENCH_EOS_SWEEP", "1.5,2.0,2.5,3.0,3.5"
-    ).split(",")]:
-        EOS_BIAS = bias
-        _, mean_len = bench_tpu(variant="eosreal32k", iters=1, repeats=1)
-        out[str(bias)] = round(mean_len, 2)
-        print(json.dumps({"eos_bias_to_mean_len": out}))
-    return 0
-
-
 if __name__ == "__main__":
     if not _probe_device():
         print("bench aborted: TPU tunnel not answering", file=sys.stderr)
@@ -645,6 +669,4 @@ if __name__ == "__main__":
         _hard_exit(profile())
     if "--sweep" in sys.argv:
         _hard_exit(sweep())
-    if "--tune-eos" in sys.argv:
-        _hard_exit(tune_eos())
     _hard_exit(main())

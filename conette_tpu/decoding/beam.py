@@ -99,6 +99,7 @@ def beam_search(
     forbid_rep_mask: jax.Array | None = None,
     kv_reorder: str | None = None,
     l_chunks: int | None = None,
+    eos_bias_schedule: jax.Array | None = None,
 ) -> BeamResult:
     """
     :param memory: (B, T_mem, d_model) projected frame embeddings.
@@ -108,6 +109,11 @@ def beam_search(
         permutation matmul); None → the production default ``KV_REORDER``.
     :param l_chunks: step-gated L-chunk count for the physical reorder
         (ignored by "ancestry"); None → ``REORDER_L_CHUNKS``.
+    :param eos_bias_schedule: optional (B, max_pred_size) f32 bias added to
+        the EOS logit of every beam of clip ``b`` at step ``s`` — per-clip
+        caption-length shaping (e.g. force length L with +1e4 at steps
+        ≥ L-1). Applied after the min-length EOS mask, which still wins
+        (the mask's -1e30 dwarfs any finite bias).
     """
     kv_reorder = KV_REORDER if kv_reorder is None else kv_reorder
     if kv_reorder not in ("ancestry", "physical"):
@@ -182,6 +188,11 @@ def beam_search(
             state.mh.reshape(flat, vocab),
             forbid_rep_mask,
         ).reshape(b, k, vocab)
+        if eos_bias_schedule is not None:
+            step_bias = jax.lax.dynamic_slice_in_dim(
+                eos_bias_schedule.astype(logits.dtype), step, 1, axis=1
+            )  # (B, 1) — broadcasts over beams
+            logits = logits.at[:, :, cfg.eos_id].add(step_bias)
 
         lprobs = jax.nn.log_softmax(jnp.maximum(logits, NEG), axis=-1)
         cand = state.sum_lprobs[:, :, None] + lprobs  # (B, k, vocab)

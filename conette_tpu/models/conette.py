@@ -227,6 +227,7 @@ def forward_generate(
     forbid_rep_mask: jax.Array | None = None,
     kv_reorder: str | None = None,
     l_chunks: int | None = None,
+    eos_bias_schedule: jax.Array | None = None,
 ) -> BeamResult:
     return beam_search(
         params["decoder"],
@@ -240,6 +241,7 @@ def forward_generate(
         forbid_rep_mask=forbid_rep_mask,
         kv_reorder=kv_reorder,
         l_chunks=l_chunks,
+        eos_bias_schedule=eos_bias_schedule,
     )
 
 

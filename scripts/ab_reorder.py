@@ -26,11 +26,158 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_check(args) -> int:
+    """``--check-only``: quantitative ancestry-vs-physical equality report.
+
+    The two formulations are the same algorithm (single-term one-hot sums),
+    but the ancestry path contracts the attention value sum over a stacked
+    ``beams·L`` axis while the physical path contracts over ``L`` — the same
+    addends in a different order. In f32 that never flips a decision at
+    these magnitudes; in bf16 the ulp is coarse enough that near-tied
+    candidates can rank differently under ``top_k``. This mode reports, per
+    dtype: the fraction of clips whose best tokens differ, and the max
+    |Δ| of the best / sorted-global average log-probs — tie-class mismatches
+    show token diffs with score diffs at bf16-ulp scale, a broken
+    formulation would show large score drift.
+    """
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    import jax.numpy as jnp
+
+    from conette_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from conette_tpu.decoding.beam import beam_search
+    from conette_tpu.models.decoder import DecoderConfig, decoder_init
+
+    BEAM, VOCAB, T_MEM, MAXP = 3, 4000, 31, 20
+    cfg = DecoderConfig(vocab_size=VOCAB)
+    params32 = decoder_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    mem32 = rng.standard_normal((args.batch, T_MEM, cfg.d_model)).astype(np.float32)
+    mem_pad = jnp.zeros((args.batch, T_MEM), bool)
+    bos = jnp.full((args.batch,), 4, jnp.int32)
+    forbid = jnp.zeros((VOCAB,), bool).at[100:].set(True)
+
+    from conette_tpu.models.decoder import (
+        decode_step,
+        init_cross,
+        init_self,
+        init_self_grouped,
+        reorder_cache,
+    )
+
+    report = {"batch": args.batch}
+
+    # Forced-token step-by-step logit comparison: feed BOTH formulations the
+    # SAME tokens and the SAME parent maps (no top-k feedback), so any logit
+    # difference is pure floating-point contraction-order effect — a broken
+    # permutation would show O(1) logit error, rounding shows ulp-scale
+    # growth with depth. This separates "formulation bug" from "bf16/MXU
+    # rounding flips near-tied top-k picks" in the full-decode compare below.
+    BEAM_K = 3
+    n_steps = 8
+    toks_np = rng.integers(5, VOCAB, size=(n_steps, args.batch * BEAM_K))
+    pars_np = rng.integers(0, BEAM_K, size=(n_steps, args.batch, BEAM_K))
+
+    for dtype in (jnp.bfloat16, jnp.float32):
+        params = jax.tree.map(lambda p: p.astype(dtype), params32)
+        memory = jnp.asarray(mem32).astype(dtype)
+        toks = jnp.asarray(toks_np, jnp.int32)
+        pars = jnp.asarray(pars_np, jnp.int32)
+
+        @jax.jit
+        def stepdiff(memory, toks, pars):
+            ctx = init_cross(params, cfg, memory, mem_pad)
+            cache_p = init_self(cfg, args.batch * BEAM_K, n_steps, dtype)
+            cache_a = init_self_grouped(cfg, args.batch, BEAM_K, n_steps, dtype)
+            anc = jnp.zeros((args.batch, BEAM_K, n_steps), jnp.int32)
+            own = jnp.broadcast_to(
+                jnp.arange(BEAM_K, dtype=jnp.int32)[None, :, None],
+                (args.batch, BEAM_K, 1),
+            )
+            diffs = []
+            for s in range(n_steps):
+                anc = jax.lax.dynamic_update_slice(anc, own, (0, 0, s))
+                raw_a, cache_a = decode_step(
+                    params, cfg, cache_a, ctx, toks[s], jnp.int32(s), ancestry=anc
+                )
+                raw_p, cache_p = decode_step(
+                    params, cfg, cache_p, ctx, toks[s], jnp.int32(s)
+                )
+                diffs.append(
+                    jnp.max(jnp.abs(raw_a.astype(jnp.float32) - raw_p.astype(jnp.float32)))
+                )
+                anc = jnp.take_along_axis(anc, pars[s][:, :, None], axis=1)
+                cache_p = reorder_cache(cache_p, pars[s], jnp.int32(s))
+            return jnp.stack(diffs)
+
+        try:
+            d = np.asarray(stepdiff(memory, toks, pars))
+        except Exception as exc:
+            report[f"stepdiff_{dtype.__name__}"] = {"unsupported": type(exc).__name__}
+            continue
+        report[f"stepdiff_{dtype.__name__}"] = {
+            "max_abs_d_logit_per_step": [round(float(x), 6) for x in d],
+        }
+
+    for dtype in (jnp.bfloat16, jnp.float32):
+        params = jax.tree.map(lambda p: p.astype(dtype), params32)
+        memory = jnp.asarray(mem32).astype(dtype)
+
+        def run(kv_reorder):
+            return beam_search(
+                params, cfg, memory, mem_pad, bos,
+                beam_size=BEAM, min_pred_size=3, max_pred_size=MAXP,
+                forbid_rep_mask=forbid, kv_reorder=kv_reorder,
+            )
+
+        key = dtype.__name__
+        try:
+            a = jax.jit(run, static_argnums=0)("ancestry")
+            p = jax.jit(run, static_argnums=0)("physical")
+            a_tok = np.asarray(a.best_preds)
+        except Exception as exc:  # CPU XLA lacks some bf16 dot kernels
+            report[key] = {"unsupported": type(exc).__name__}
+            continue
+        p_tok = np.asarray(p.best_preds)
+        row_diff = (a_tok != p_tok).any(axis=1)
+        report[key] = {
+            "clips_with_token_diff": int(row_diff.sum()),
+            "max_abs_d_best_avg_lprob": float(
+                np.abs(
+                    np.asarray(a.best_avg_lprobs) - np.asarray(p.best_avg_lprobs)
+                ).max()
+            ),
+            # multiset compare of the whole finished store: rank flips under
+            # ties reorder rows, sorting removes the labelling
+            "max_abs_d_sorted_global_avg": float(
+                np.abs(
+                    np.sort(np.asarray(a.global_avg_lprobs), axis=1)
+                    - np.sort(np.asarray(p.global_avg_lprobs), axis=1)
+                ).max()
+            ),
+        }
+    print(json.dumps(report))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=384)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument(
+        "--check-only", action="store_true",
+        help="skip timing; print the quantitative ancestry-vs-physical "
+        "equality report (bf16 + f32) as one JSON line",
+    )
     args = ap.parse_args()
+    if args.check_only:
+        return run_check(args)
 
     import jax
 

@@ -171,6 +171,41 @@ class TestBeamParity:
             np.asarray(a.global_avg_lprobs), np.asarray(p.global_avg_lprobs), atol=1e-5
         )
 
+    @pytest.mark.parametrize("kv_reorder", ["physical", "ancestry"])
+    def test_eos_bias_schedule_scripts_lengths(self, setup, kv_reorder):
+        """A per-clip EOS bias schedule (bench.py's scripted-length realism
+        device) forces each clip's beams to retire at exactly the scheduled
+        step — caption length (incl. EOS) == target, for every beam in the
+        global store, and the min-length mask still wins below
+        min_pred_size."""
+        params, memory, mem_pad, bos_ids, _ = setup
+        max_p = 10
+        # clip 1's target (2) sits BELOW min_pred_size=3: the -1e30 min-len
+        # mask must override the +1e4 forcing until step 3
+        targets = np.array([5, 2, 8], np.int32)
+        sched = np.where(
+            np.arange(max_p)[None, :] >= targets[:, None] - 1, 1.0e4, 0.0
+        ).astype(np.float32)
+        res = beam_search(
+            params, CFG, jnp.asarray(memory), jnp.asarray(mem_pad),
+            jnp.asarray(bos_ids), beam_size=3, min_pred_size=3,
+            max_pred_size=max_p, eos_bias_schedule=jnp.asarray(sched),
+            kv_reorder=kv_reorder,
+        )
+        want = np.maximum(targets, 3 + 1)  # min_pred floor: eos at step 3
+        # length = first-EOS position + 1 (a random tiny-vocab model can
+        # emit token 0 = pad_id as a CONTENT token, so counting non-pad
+        # undercounts)
+        best = np.asarray(res.best_preds)
+        got = np.argmax(best == CFG.eos_id, axis=1) + 1
+        np.testing.assert_array_equal(got, want)
+        galls = np.asarray(res.global_preds)
+        got_all = np.argmax(galls == CFG.eos_id, axis=2) + 1
+        np.testing.assert_array_equal(got_all, np.broadcast_to(want[:, None], got_all.shape))
+        # nothing but pad after the scheduled EOS
+        for b in range(3):
+            assert (best[b, want[b]:] == CFG.pad_id).all()
+
     def test_beam1_equals_greedy(self, setup):
         params, memory, mem_pad, bos_ids, forbid = setup
         res = beam_search(
