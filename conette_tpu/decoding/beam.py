@@ -75,7 +75,13 @@ NEG = -1.0e30  # finite "-inf": keeps log-softmax NaN-free on dead rows
 #   models/decoder.py::reorder_cache).
 # Production default = whichever wins the on-chip A/B (scripts/ab_reorder.py,
 # full-decode medians within one session; PROFILE.md records the dated row).
-KV_REORDER = "physical"
+# r5 flip: ancestry 82.6 ms vs chunked_4 92.0 / full perm 91.3 (batch 384,
+# window 21:33). The two strategies are the same exact algorithm and agree
+# bit-for-bit at full f32 precision; under the MXU's default bf16 passes
+# their different value-sum contraction order (stacked beams·L vs L) can
+# flip near-tied top-k picks — measured and bounded in PROFILE.md r5
+# (forced-token step logit diff ≤0.1 on random weights, step 0 bit-equal).
+KV_REORDER = "ancestry"
 REORDER_L_CHUNKS = 4
 
 

@@ -432,6 +432,13 @@ def decode_step(
             kb = k_buf.reshape(b_ctx, cfg.nhead, s_len, dh)
             vb = v_buf.reshape(b_ctx, cfg.nhead, s_len, dh)
             qg = q[:, :, 0, :].reshape(b_ctx, beams, cfg.nhead, dh)
+            if jax.default_backend() == "cpu" and kb.dtype == jnp.bfloat16:
+                # CPU XLA lacks bf16×bf16→f32 dot kernels for some of the
+                # stacked-axis shapes below (DotThunk UNIMPLEMENTED, seen at
+                # serving shapes); upcast at trace time — the products are
+                # f32-accumulated on TPU anyway and the CPU path is
+                # tests/dryrun only
+                kb, vb, qg = (t.astype(jnp.float32) for t in (kb, vb, qg))
             # same batched-matmul shape class as the cross-attention product
             # ("bkhd,bhmd->bkhm" with m = beams·L_max instead of T_mem)
             scores_all = jnp.einsum(

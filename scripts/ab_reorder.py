@@ -124,6 +124,22 @@ def run_check(args) -> int:
         report[f"stepdiff_{dtype.__name__}"] = {
             "max_abs_d_logit_per_step": [round(float(x), 6) for x in d],
         }
+        if dtype is jnp.float32:
+            # full-precision control: with 3-pass f32 matmuls the MXU's
+            # bf16-pass rounding disappears — if the residual diff is
+            # ulp-scale the divergence is precision-class, not a bug
+            try:
+                with jax.default_matmul_precision("highest"):
+                    dh = np.asarray(
+                        jax.jit(stepdiff.__wrapped__)(memory, toks, pars)
+                    )
+                report["stepdiff_float32_highest"] = {
+                    "max_abs_d_logit_per_step": [round(float(x), 8) for x in dh],
+                }
+            except Exception as exc:
+                report["stepdiff_float32_highest"] = {
+                    "unsupported": type(exc).__name__
+                }
 
     for dtype in (jnp.bfloat16, jnp.float32):
         params = jax.tree.map(lambda p: p.astype(dtype), params32)
