@@ -96,6 +96,12 @@ def main() -> int:
         )
 
     def timed(fn, *fn_args, iters: int) -> float:
+        # Every target returns a SCALAR as its first leaf: executables run
+        # atomically, so fetching the scalar forces completion of the whole
+        # program (including big device-resident outputs) while moving only
+        # bytes — fetching a full array over the tunnel costs seconds and
+        # its jitter swamped the chain differencing (r5: s2 measured
+        # NEGATIVE when the per-call fetch was 458 MB).
         _ = np.asarray(jax.tree.leaves(fn(*fn_args, jnp.float32(0)))[0])  # compile
         ts = []
         for i in range(iters):
@@ -148,7 +154,8 @@ def main() -> int:
 
     @jax.jit
     def stream(x, j):
-        return x * (1.0 + j * 1e-6).astype(cdt)
+        y = x * (1.0 + j * 1e-6).astype(cdt)
+        return y[0, 0], y  # scalar first-leaf; y stays a program output
 
     t_st = detaxed(timed(stream, big, iters=args.iters))
     hbm_gbs = 2 * big.size * 2 / t_st / 1e9
@@ -179,7 +186,8 @@ def main() -> int:
                 acc = acc + xr[:, i : i + st_w] * taps[i]
             return acc.astype(cdt)
 
-        return jax.lax.map(one, xc)
+        out = jax.lax.map(one, xc)
+        return out[0, 0, 0], out
 
     t_sten = detaxed(timed(stencil49, sx, iters=args.iters))
     elems = st_rows * st_w
@@ -206,7 +214,7 @@ def main() -> int:
                         w["pw2_bias"], w["layer_scale"],
                         interpret=interpret,
                     )
-                return y
+                return y[0, 0, 0, 0], y
 
             return fn
 
