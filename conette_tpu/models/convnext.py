@@ -255,6 +255,7 @@ def convnext_features(
     rng: jax.Array | None = None,
     fused_block: bool = False,
     fused_interpret: bool = False,
+    fused_transpose: str = "never",
 ) -> jax.Array:
     """(B, T, F, 1) NHWC log-mel → (B, T', F', 768) feature map.
 
@@ -265,7 +266,18 @@ def convnext_features(
     (``_padded_stem`` / ``_padded_downsample``) — one HBM read + write per
     block and no pad/unpad copies of the big activations between stages.
     Stages whose VMEM plan does not fit fall back to the XLA blocks (the
-    tensor is sliced back to the real extent for them)."""
+    tensor is sliced back to the real extent for them).
+
+    ``fused_transpose``: "never" | "auto" | "always" — run narrow-F fused
+    stages with time and freq SWAPPED (the 7x7 depthwise stencil is
+    T/F-symmetric, so only the tap axes of the depthwise weight
+    transpose). At the production shapes this targets stage 3 (T=62,
+    F=14), whose normal plan packs 2 batch rows with 8 zero gap columns
+    (28 real of 40 stencil columns); transposed it runs a single
+    (t=14, F=64) tile at 62/64 geometric efficiency with 64-wide sublane
+    extents. "auto" applies the measured-margin heuristic
+    (``stage_transpose_wins``); "always" transposes any stage with a
+    transposed VMEM plan (testing)."""
     padded = False
     f_real = c_real = 0
     if fused_block and _PADDED_SEAMS:
@@ -331,18 +343,50 @@ def convnext_features(
             from conette_tpu.ops.pallas.convnext_block import (
                 fused_convnext_block_padded,
                 pad_fc,
+                stage_transpose_wins,
+                transposed_stage_plan,
             )
 
             if not padded:
                 _, _, f_real, c_real = y.shape
                 y = pad_fc(y)
                 padded = True
+            h_dim = stage[0]["pwconv1"]["weight"].shape[1]
+            itemsize = jnp.dtype(y.dtype).itemsize
+            t_len = y.shape[1]
+            if fused_transpose == "always":
+                tr = (
+                    transposed_stage_plan(
+                        t_len, f_real, y.shape[3], h_dim, itemsize, y.shape[0]
+                    )
+                    is not None
+                )
+            elif fused_transpose == "auto":
+                tr = stage_transpose_wins(
+                    t_len, y.shape[2], f_real, y.shape[3], h_dim, itemsize,
+                    y.shape[0],
+                )
+            else:
+                tr = False
+            if tr:
+                # swap time<->freq for this stage: slice the freq pad off
+                # (padded rows would otherwise become nonzero interior time
+                # rows after the first block and contaminate the 7-tap time
+                # halo), transpose, re-pad the new freq (= old time) axis
+                y = jnp.swapaxes(y[:, :, :f_real, :], 1, 2)
+                y = jnp.pad(y, ((0, 0), (0, 0), (0, (-t_len) % 8), (0, 0)))
+                stage_f_real = t_len
+            else:
+                stage_f_real = f_real
             for block in stage:
+                dw = block["dwconv"]["weight"]
+                if tr:
+                    dw = jnp.swapaxes(dw[:, :, 0, :] if dw.ndim == 4 else dw, 0, 1)
                 y = fused_convnext_block_padded(
                     y,
-                    f_real,
+                    stage_f_real,
                     c_real,
-                    block["dwconv"]["weight"],
+                    dw,
                     block["dwconv"]["bias"],
                     block["norm"]["weight"],
                     block["norm"]["bias"],
@@ -355,6 +399,10 @@ def convnext_features(
                     interpret=fused_interpret,
                 )
                 block_idx += 1
+            if tr:
+                # back to the canonical padded layout for the next seam
+                y = jnp.swapaxes(y[:, :, :t_len, :], 1, 2)
+                y = jnp.pad(y, ((0, 0), (0, 0), (0, (-f_real) % 8), (0, 0)))
             continue
         if padded:
             y = y[:, :, :f_real, :c_real]
@@ -394,6 +442,7 @@ def convnext_apply(
     use_fused_frontend: bool | None = None,
     use_fused_block: bool | None = None,
     fused_interpret: bool = False,
+    fused_transpose: str = "never",
 ) -> dict[str, jax.Array]:
     """Full encoder forward.
 
@@ -472,6 +521,7 @@ def convnext_apply(
         rng=rng,
         fused_block=use_fused_block,
         fused_interpret=fused_interpret,
+        fused_transpose=fused_transpose,
     )
     # (B, T', F', C) → mean over frequency → (B, T', C)
     frames = jnp.mean(feats.astype(jnp.float32), axis=2)

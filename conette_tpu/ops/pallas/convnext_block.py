@@ -227,6 +227,58 @@ def plan_block(
     return None
 
 
+def transposed_stage_plan(
+    t: int, f_real: int, cp: int, h_dim: int, itemsize: int, b: int | None
+) -> tuple[int, int, tuple[int, int | None, bool, int]] | None:
+    """Plan for running a stage TRANSPOSED (time and freq swapped): the
+    kernel's time axis becomes the real freq extent (``f_real`` rows, no
+    padding — always a single tile for ConvNeXt-Tiny's narrow-F stages)
+    and its freq axis becomes the time extent padded to 8. Returns
+    ``(new_t, new_f_pad, plan)`` or None when no transposed plan fits.
+
+    The 7x7 depthwise stencil is T/F-symmetric (cross-correlation with a
+    square tap grid), so transposing the layout only requires transposing
+    the tap axes of the depthwise weight; LN/MLP/scale/residual act per
+    position or per channel and are layout-blind."""
+    new_t = f_real
+    new_f_pad = _round8(t)
+    plan = plan_block(new_t, new_f_pad, cp, h_dim, itemsize, b)
+    if plan is None:
+        return None
+    return new_t, new_f_pad, plan
+
+
+def stage_transpose_wins(
+    t: int,
+    f_pad: int,
+    f_real: int,
+    cp: int,
+    h_dim: int,
+    itemsize: int,
+    b: int | None,
+    margin: float = 0.05,
+) -> bool:
+    """Auto heuristic: transpose a stage when the transposed layout's
+    geometric efficiency (real elements / padded stencil elements,
+    including pack gaps) beats the normal plan's by ``margin``. At the
+    production ConvNeXt-Tiny shapes this selects exactly stage 3
+    (T=62, F=14: pack-2 with 8-col gaps covers 28 real of 40 stencil
+    columns = 0.70, vs 62/64 = 0.97 transposed with 64-wide sublane
+    extents); s1 is already gap-free, s2/s4 have no transposed VMEM plan."""
+    cur = plan_block(t, f_pad, cp, h_dim, itemsize, b)
+    if cur is None:
+        return False
+    _, _, _, pack = cur
+    fp_all = (pack - 1) * (f_pad + PACK_GAP) + f_pad
+    eff_cur = pack * f_real / fp_all
+    tr = transposed_stage_plan(t, f_real, cp, h_dim, itemsize, b)
+    if tr is None:
+        return False
+    new_t, new_f_pad, _ = tr
+    eff_tr = (t * f_real) / (new_t * new_f_pad)
+    return eff_tr > eff_cur + margin
+
+
 def pad_fc(x: jax.Array) -> jax.Array:
     """Stage-entry padding: (B, T, F, C) -> F to a multiple of 8, C to a
     multiple of 128 (zeros). The fused blocks chain in this layout."""

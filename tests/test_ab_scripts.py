@@ -41,6 +41,7 @@ HELP_SCRIPTS = [
     "ab_frontend.py",
     "ab_reorder.py",
     "ab_seams.py",
+    "ab_stage3.py",
     "bench_latency.py",
     "bench_train.py",
     "convert_checkpoint.py",
@@ -102,6 +103,16 @@ def test_ab_frontend_smoke() -> None:
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert any(k.startswith("median_") for k in out), out
+
+
+@pytest.mark.slow
+def test_ab_stage3_smoke() -> None:
+    # CPU interpret mode: correctness (baseline == transposed == XLA chain,
+    # restored pad columns zero) at a tiny batch, no timing
+    proc = _run(["ab_stage3.py", "--batch", "2", "--check-only", "--interpret"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ok"] is True, out
 
 
 @pytest.mark.slow

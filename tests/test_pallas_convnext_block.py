@@ -252,3 +252,86 @@ def test_convnext_apply_fused_matches_unfused_end_to_end():
     rc = np.asarray(ref["clipwise_output"], np.float32)
     gc = np.asarray(got["clipwise_output"], np.float32)
     assert np.abs(rc - gc).max() < 0.02
+
+
+# ---------------------------------------------------------------------------
+# transposed-stage path (round 5): narrow-F stages run with time and freq
+# swapped — the 7x7 stencil is T/F-symmetric, so only the depthwise tap
+# axes transpose. Production target is stage 3 (T=62, F=14): pack-2 with
+# 8-col gaps covers 28 real of 40 stencil columns (0.70) vs 62/64 = 0.97
+# transposed with 64-wide sublane extents.
+
+
+def test_transposed_block_matches_direct():
+    """fused(xᵀ, dwᵀ)ᵀ == fused(x, dw): the kernel's T/F symmetry claim,
+    verified directly at a stage-3-like shape."""
+    b, t, f, c = 2, 20, 6, 384
+    key = jax.random.PRNGKey(7)
+    p = make_block(key, c)
+    x = (jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, c)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    direct = run_fused(x, p)
+    pt = dict(p)
+    pt["dwconv"] = dict(p["dwconv"])
+    pt["dwconv"]["weight"] = jnp.swapaxes(p["dwconv"]["weight"], 0, 1)
+    transposed = jnp.swapaxes(run_fused(jnp.swapaxes(x, 1, 2), pt), 1, 2)
+    assert rel_err(direct, transposed) < 0.02
+
+
+def test_stage_transpose_wins_selects_stage3_only():
+    """At the production encoder shapes (batch 384, 10 s @ 32 kHz) the auto
+    heuristic transposes exactly stage 3: s1 is already gap-free, s2/s4
+    have no transposed VMEM plan."""
+    from conette_tpu.ops.pallas.convnext_block import (
+        stage_transpose_wins,
+        transposed_stage_plan,
+    )
+
+    stages = {  # (t, f_pad, f_real, cp, h_dim)
+        "s1": (250, 56, 56, 128, 512),
+        "s2": (125, 32, 28, 256, 1024),
+        "s3": (62, 16, 14, 384, 1536),
+        "s4": (31, 8, 7, 768, 3072),
+    }
+    wins = {
+        k: stage_transpose_wins(t, fp, fr, cp, h, 2, 384)
+        for k, (t, fp, fr, cp, h) in stages.items()
+    }
+    assert wins == {"s1": False, "s2": False, "s3": True, "s4": False}
+    t, fp, fr, cp, h = stages["s3"]
+    new_t, new_f_pad, plan = transposed_stage_plan(t, fr, cp, h, 2, 384)
+    assert (new_t, new_f_pad) == (14, 64)
+    assert plan is not None
+
+
+def test_features_transposed_stage_matches_untransposed():
+    """convnext_features with fused_transpose='always' == 'never' (CPU
+    interpret): exercises the slice/transpose/re-pad seams around a
+    transposed stage chain, including that the restored padded layout
+    keeps its zero freq columns for downstream consumers."""
+    import conette_tpu.models.convnext as cx
+    from conette_tpu.models.layers import conv2d_init, layer_norm_init
+
+    c = 96
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 4)
+    params = {
+        "stem": {
+            "conv": conv2d_init(ks[0], 1, c, (4, 4)),
+            "norm": layer_norm_init(c),
+        },
+        "downsample": [],
+        "stages": [[make_block(jax.random.fold_in(ks[1], i), c) for i in range(2)]],
+    }
+    mel = (jax.random.normal(ks[2], (2, 40, 24, 1)) * 0.5).astype(jnp.bfloat16)
+    base = cx.convnext_features(
+        params, mel, fused_block=True, fused_interpret=True,
+        fused_transpose="never",
+    )
+    tr = cx.convnext_features(
+        params, mel, fused_block=True, fused_interpret=True,
+        fused_transpose="always",
+    )
+    assert base.shape == tr.shape
+    assert rel_err(base, tr) < 0.02
