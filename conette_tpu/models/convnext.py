@@ -255,7 +255,7 @@ def convnext_features(
     rng: jax.Array | None = None,
     fused_block: bool = False,
     fused_interpret: bool = False,
-    fused_transpose: str = "never",
+    fused_transpose: str = "auto",
 ) -> jax.Array:
     """(B, T, F, 1) NHWC log-mel → (B, T', F', 768) feature map.
 
@@ -277,7 +277,9 @@ def convnext_features(
     (t=14, F=64) tile at 62/64 geometric efficiency with 64-wide sublane
     extents. "auto" applies the measured-margin heuristic
     (``stage_transpose_wins``); "always" transposes any stage with a
-    transposed VMEM plan (testing)."""
+    transposed VMEM plan (testing). Default "auto" — the on-chip A/B
+    (PROFILE.md r5, batch 384) measured stage 3 at 172.6 ms normal vs
+    132.7 ms transposed (medians), encoder e2e 435.9 vs 392.7 ms."""
     padded = False
     f_real = c_real = 0
     if fused_block and _PADDED_SEAMS:
@@ -442,7 +444,7 @@ def convnext_apply(
     use_fused_frontend: bool | None = None,
     use_fused_block: bool | None = None,
     fused_interpret: bool = False,
-    fused_transpose: str = "never",
+    fused_transpose: str = "auto",
 ) -> dict[str, jax.Array]:
     """Full encoder forward.
 
