@@ -24,7 +24,9 @@ def load_audio(path: str) -> Tuple[np.ndarray, int]:
     Dispatches on the container magic bytes, not the file extension, like
     sox/torchaudio do (``huggingface/preprocessor.py:79-80`` loads anything
     torchaudio reads; WavCaps ships FLAC): RIFF/WAVE → PCM WAV decoder,
-    fLaC → pure-Python FLAC decoder (``utils/flac.py``).
+    fLaC → pure-Python FLAC decoder (``utils/flac.py``), mp3 (ID3 tag or
+    MPEG frame sync) and Ogg Vorbis → optional SDL_mixer host backend
+    (``utils/lossy.py``; actionable ImportError when pygame is absent).
     """
     with open(path, "rb") as f:
         magic = f.read(4)
@@ -34,9 +36,20 @@ def load_audio(path: str) -> Tuple[np.ndarray, int]:
         from conette_tpu.utils.flac import load_flac
 
         return load_flac(path)
+    if magic[:3] == b"ID3" or (
+        len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0
+    ):
+        from conette_tpu.utils.lossy import load_mp3
+
+        return load_mp3(path)
+    if magic == b"OggS":
+        from conette_tpu.utils.lossy import load_ogg
+
+        return load_ogg(path)
     raise ValueError(
         f"Unsupported audio container in {path!r} (magic {magic!r}); "
-        "supported: RIFF/WAVE PCM, FLAC"
+        "supported: RIFF/WAVE PCM, FLAC, mp3 and Ogg Vorbis (the latter "
+        "two via the optional pygame/SDL_mixer backend)"
     )
 
 

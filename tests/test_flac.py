@@ -128,11 +128,19 @@ def test_load_audio_dispatches_on_magic_not_extension(tmp_path):
     wave, sr = load_audio(p)
     assert sr == 8000 and wave.shape == (1, 500)
 
-    bad = str(tmp_path / "bad.ogg")
+    bad = str(tmp_path / "bad.xyz")
     with open(bad, "wb") as f:
-        f.write(b"OggS" + b"\x00" * 64)
+        f.write(b"ABCD" + b"\x00" * 64)
     with pytest.raises(ValueError, match="Unsupported audio container"):
         load_audio(bad)
+
+    # OggS containers now dispatch to the lossy backend; junk payload is a
+    # codec error, not an unsupported-container error
+    ogg_junk = str(tmp_path / "bad.ogg")
+    with open(ogg_junk, "wb") as f:
+        f.write(b"OggS" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="not Vorbis"):
+        load_audio(ogg_junk)
 
 
 def test_preprocessor_accepts_flac(tmp_path):
