@@ -113,6 +113,10 @@ def beam_search(
     :param bos_ids: (B,) per-example BOS token ids.
     :param kv_reorder: "ancestry" (reorder-free) or "physical" (dense
         permutation matmul); None → the production default ``KV_REORDER``.
+        The ancestry read-time formulation is selectable for the A/B
+        harness: "ancestry:gather" (score take_along_axis — bit-identical
+        to "ancestry") and "ancestry:stacked" (masked softmax over the
+        stacked beams·L axis) route ``decode_step(ancestry_impl=...)``.
     :param l_chunks: step-gated L-chunk count for the physical reorder
         (ignored by "ancestry"); None → ``REORDER_L_CHUNKS``.
     :param eos_bias_schedule: optional (B, max_pred_size) f32 bias added to
@@ -122,9 +126,14 @@ def beam_search(
         (the mask's -1e30 dwarfs any finite bias).
     """
     kv_reorder = KV_REORDER if kv_reorder is None else kv_reorder
-    if kv_reorder not in ("ancestry", "physical"):
+    if kv_reorder not in (
+        "ancestry", "ancestry:gather", "ancestry:stacked", "physical"
+    ):
         raise ValueError(f"unknown kv_reorder {kv_reorder!r}")
-    ancestry_mode = kv_reorder == "ancestry"
+    ancestry_mode = kv_reorder.startswith("ancestry")
+    ancestry_impl = (
+        kv_reorder.split(":", 1)[1] if ":" in kv_reorder else "scatter"
+    )
     l_chunks = REORDER_L_CHUNKS if l_chunks is None else l_chunks
     b, t_mem, _ = memory.shape
     k = beam_size
@@ -181,7 +190,8 @@ def beam_search(
             # each physical row writes position ``step`` into its own slot
             anc = jax.lax.dynamic_update_slice(state.anc, own_row, (0, 0, step))
             raw, cache = decode_step(
-                params, cfg, state.cache, ctx, state.tok, step, ancestry=anc
+                params, cfg, state.cache, ctx, state.tok, step,
+                ancestry=anc, ancestry_impl=ancestry_impl,
             )
         else:
             anc = state.anc

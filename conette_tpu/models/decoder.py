@@ -318,6 +318,7 @@ def decode_step(
     step: jax.Array,
     *,
     ancestry: jax.Array | None = None,
+    ancestry_impl: str = "scatter",
 ) -> tuple[jax.Array, DecodeCache]:
     """One incremental decode step.
 
@@ -338,6 +339,18 @@ def decode_step(
         per position — the same batched tiny-matmul shape class as the
         cross-attention product, which the r4 trace proved fast on-chip.
         Entries at positions > ``step`` may be garbage (masked out).
+    :param ancestry_impl: how the ancestry permutation is resolved at
+        attention-read time (A/B'd on-chip, scripts/ab_reorder.py):
+        "scatter" — one-hot select the scores per position, softmax over
+        L, then one-hot scatter the weights back over the stacked beams·L
+        axis for the value sum; "gather" — the score selection as a tiny
+        ``take_along_axis`` over the score tensor instead of the select
+        einsum (bit-identical arithmetic to "scatter": both are
+        single-term selections, value side unchanged); "stacked" — mask
+        the non-ancestor score lanes to -inf and softmax directly over
+        the stacked beams·L axis, removing both the selection einsum and
+        the weight scatter (same addends, different f32 summation order
+        in the softmax denominator).
     :returns: ((B·beam, vocab) logits for the next token, updated cache).
     """
     b = token_ids.shape[0]
@@ -447,18 +460,51 @@ def decode_step(
             scores_all = scores_all.reshape(
                 b_ctx, beams, cfg.nhead, beams, max_steps
             )
-            # one-hot select the ancestor row per position (single-term sums
-            # — exact); positions > step are masked below regardless
-            onehot = jax.nn.one_hot(ancestry, beams, dtype=scores_all.dtype)
-            scores = jnp.einsum("bqhsl,bqls->bqhl", scores_all, onehot)
-            scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-            w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)  # (B,q,H,L)
-            # scatter the weights back over the stacked (beams·L) key axis:
-            # w_sel[b,q,h,s,l] = w[b,q,h,l] · 1[ancestry[b,q,l] == s]
-            w_sel = (
-                w[:, :, :, None, :]
-                * jnp.swapaxes(onehot, 2, 3)[:, :, None, :, :].astype(q.dtype)
-            ).reshape(b_ctx, beams, cfg.nhead, s_len)
+            if ancestry_impl == "stacked":
+                # mask every non-ancestor (s, l) lane to -inf and softmax
+                # over the stacked beams·L axis directly: exactly one s is
+                # live per valid l, so the live set equals the logical L
+                # positions — same addends as "scatter", summed along the
+                # stacked axis (f32 rounding may differ at ulp scale)
+                sel = ancestry[:, :, None, :] == jnp.arange(beams)[
+                    None, None, :, None
+                ]  # (B, q, s, L) bool
+                mask = sel & valid[None, :, :]  # valid (1, L) broadcasts
+                scores_st = jnp.where(
+                    mask[:, :, None, :, :], scores_all, NEG_INF
+                ).reshape(b_ctx, beams, cfg.nhead, s_len)
+                w_sel = jax.nn.softmax(scores_st, axis=-1).astype(q.dtype)
+            else:
+                if ancestry_impl == "gather":
+                    # the same single-term selection as the one-hot einsum,
+                    # as a tiny gather over the SCORE tensor (never over
+                    # K/V bytes) — bit-identical to "scatter"
+                    idx = jnp.broadcast_to(
+                        ancestry[:, :, None, None, :],
+                        (b_ctx, beams, cfg.nhead, 1, max_steps),
+                    )
+                    scores = jnp.take_along_axis(scores_all, idx, axis=3)[
+                        :, :, :, 0, :
+                    ]
+                    onehot = jax.nn.one_hot(
+                        ancestry, beams, dtype=scores_all.dtype
+                    )
+                else:
+                    # one-hot select the ancestor row per position
+                    # (single-term sums — exact); positions > step are
+                    # masked below regardless
+                    onehot = jax.nn.one_hot(
+                        ancestry, beams, dtype=scores_all.dtype
+                    )
+                    scores = jnp.einsum("bqhsl,bqls->bqhl", scores_all, onehot)
+                scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+                w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)  # (B,q,H,L)
+                # scatter the weights back over the stacked (beams·L) key
+                # axis: w_sel[b,q,h,s,l] = w[b,q,h,l] · 1[ancestry[b,q,l]==s]
+                w_sel = (
+                    w[:, :, :, None, :]
+                    * jnp.swapaxes(onehot, 2, 3)[:, :, None, :, :].astype(q.dtype)
+                ).reshape(b_ctx, beams, cfg.nhead, s_len)
             sa_out = jnp.einsum(
                 "bqhs,bhsd->bqhd", w_sel, vb, preferred_element_type=jnp.float32
             ).reshape(b, cfg.nhead, 1, dh)

@@ -63,13 +63,15 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = 3  # 7x7 stencil halo
 F_OFF = 8  # 8-aligned sublane offset of the real freq columns in `work`
 STENCIL_ROWS = 4  # stencil/LN row chunk (keeps the f32 acc in vregs)
-# trace-time experiment switches (within-trace shootout hooks; both shot
-# down on v5e -- see PROFILE.md r3 -- kept for reproducibility):
-# LN lane stats via a skinny MXU matmul instead of VPU reduction trees
-_LN_STATS_MXU = False
-# store the 7 aligned tap buffers in f32 (drops the per-tap bf16->f32
-# cast at 2x the fshift VMEM; needs a small-tile plan)
-_FSHIFT_F32 = False
+# Experiment switches are REAL static jit parameters of
+# ``fused_convnext_block_padded`` (ln_mode=, fshift_f32=), not module
+# globals: a global read at trace time is invisible to the jit cache, so
+# toggling it after a first call silently reuses the stale executable —
+# the r4 A/B-script breakage class. Shootout history (PROFILE.md r3):
+# ln_mode="mxu" (LN lane stats via a skinny MXU matmul) and
+# fshift_f32=True (f32 tap buffers) were both perf-neutral on v5e.
+# ln_mode="skip" omits the LN stats entirely — an INVALID-RESULTS timing
+# bound used by scripts/ab_s1ln.py to quantify the LN share per stage.
 PACK_GAP = 8  # zero columns between packed segments (>= PAD, 8-aligned)
 
 # In-trace measured plans per ConvNeXt-Tiny stage geometry at bf16
@@ -323,6 +325,7 @@ def _fused_block_kernel(
     mlp_chunk_rows: int | None,
     use_fshift: bool,
     pack: int,
+    ln_mode: str,
 ):
     b = pl.program_id(0)  # program batch index (covers `pack` batch rows)
     j = pl.program_id(1)
@@ -455,24 +458,30 @@ def _fused_block_kernel(
         # sums equal the real-lane sums -- no lane masking needed; variance
         # via E[x^2] - m^2 in f32 (single reduction pass each).
         inv_c = 1.0 / c_real
-        if _LN_STATS_MXU:
-            # lane reductions as one skinny MXU matmul: [acc, acc*acc] @
-            # ones(C, 1) -- cross-lane VPU reduction trees replaced by a
-            # systolic pass (shootout-gated; see PROFILE.md r3)
-            ones = jnp.ones((acc.shape[-1], 1), jnp.float32)
-            stacked = jnp.concatenate([acc, acc * acc], axis=0)
-            sums = jax.lax.dot_general(
-                stacked, ones,
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            mean = sums[: acc.shape[0]] * inv_c
-            sumsq = sums[acc.shape[0] :] * inv_c
+        if ln_mode == "skip":
+            # INVALID-RESULTS timing bound: no stats, no normalization —
+            # isolates the lane-reduction share for the per-stage roofline
+            # (scripts/ab_s1ln.py). Never routed by production code.
+            yc = acc
         else:
-            mean = jnp.sum(acc, axis=-1, keepdims=True) * inv_c
-            sumsq = jnp.sum(acc * acc, axis=-1, keepdims=True) * inv_c
-        var = sumsq - mean * mean
-        yc = (acc - mean) * jax.lax.rsqrt(var + eps)
+            if ln_mode == "mxu":
+                # lane reductions as one skinny MXU matmul: [acc, acc*acc] @
+                # ones(C, 1) -- cross-lane VPU reduction trees replaced by a
+                # systolic pass (shootout-gated; see PROFILE.md r3)
+                ones = jnp.ones((acc.shape[-1], 1), jnp.float32)
+                stacked = jnp.concatenate([acc, acc * acc], axis=0)
+                sums = jax.lax.dot_general(
+                    stacked, ones,
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                mean = sums[: acc.shape[0]] * inv_c
+                sumsq = sums[acc.shape[0] :] * inv_c
+            else:
+                mean = jnp.sum(acc, axis=-1, keepdims=True) * inv_c
+                sumsq = jnp.sum(acc * acc, axis=-1, keepdims=True) * inv_c
+            var = sumsq - mean * mean
+            yc = (acc - mean) * jax.lax.rsqrt(var + eps)
         # gamma is zero on padded lanes, so yc's nonzero -mean there is
         # re-zeroed by the affine step
         y_ref[r0 : r0 + rows] = (yc * g_ref[0] + beta_ref[0]).astype(y_ref.dtype)
@@ -533,7 +542,10 @@ def _fused_block_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("f_real", "c_real", "eps", "interpret", "_plan")
+    jax.jit,
+    static_argnames=(
+        "f_real", "c_real", "eps", "interpret", "_plan", "ln_mode", "fshift_f32"
+    ),
 )
 def fused_convnext_block_padded(
     x: jax.Array,
@@ -551,6 +563,8 @@ def fused_convnext_block_padded(
     eps: float = 1e-6,
     interpret: bool = False,
     _plan: tuple[int, int | None, bool] | None = None,
+    ln_mode: str = "vpu",
+    fshift_f32: bool = False,
 ) -> jax.Array:
     """Fused block in the stage-padded layout: ``x`` is (B, T, Fp, Cp) with
     Fp % 8 == 0, Cp % 128 == 0 and zero padding beyond ``f_real`` /
@@ -589,7 +603,10 @@ def fused_convnext_block_padded(
         mlp_chunk_rows=mlp_chunk_rows,
         use_fshift=use_fshift,
         pack=pack,
+        ln_mode=ln_mode,
     )
+    if ln_mode not in ("vpu", "mxu", "skip"):
+        raise ValueError(f"unknown ln_mode {ln_mode!r}")
     full = lambda shape: pl.BlockSpec(
         shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
     )
@@ -621,7 +638,7 @@ def fused_convnext_block_padded(
             pltpu.VMEM((t_tile, fp_all, cp), cdt),
             pltpu.VMEM(
                 (7, t_tile + 2 * PAD, fp_all, cp) if use_fshift else (1, 1, 8, 128),
-                jnp.float32 if (_FSHIFT_F32 and use_fshift) else cdt,
+                jnp.float32 if (fshift_f32 and use_fshift) else cdt,
             ),
             pltpu.SemaphoreType.DMA((2, pack)),
         ],
@@ -659,6 +676,8 @@ def fused_convnext_block(
     layer_scale: jax.Array,
     eps: float = 1e-6,
     interpret: bool = False,
+    ln_mode: str = "vpu",
+    fshift_f32: bool = False,
 ) -> jax.Array:
     """Whole ConvNeXt block (dwconv7x7+LN+MLP+scale+residual) in one fused
     pass over HBM; unpadded convenience wrapper (pads, runs, slices).
@@ -685,5 +704,7 @@ def fused_convnext_block(
         layer_scale,
         eps=eps,
         interpret=interpret,
+        ln_mode=ln_mode,
+        fshift_f32=fshift_f32,
     )
     return out[:, :, :f, :c]

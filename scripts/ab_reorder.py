@@ -368,6 +368,13 @@ def main() -> int:
         # reorder-free: unpermuted grouped cache + ancestry-indexed
         # attention read (models/decoder.py decode_step ancestry path)
         "ancestry": make(kv_reorder="ancestry"),
+        # read-time formulation variants of the same ancestry path
+        # (decode_step ancestry_impl=): "gather" replaces the score-select
+        # einsum with take_along_axis (bit-identical); "stacked" masks the
+        # non-ancestor lanes and softmaxes over the stacked beams·L axis,
+        # removing both the select einsum and the weight scatter
+        "anc_gather": make(kv_reorder="ancestry:gather"),
+        "anc_stacked": make(kv_reorder="ancestry:stacked"),
         "full_perm": make(),  # dense (B·beam)² matmul, no chunking
         # step-gated L-chunking: permute only chunks the decode has reached
         "chunked_2": make(l_chunks=2),
@@ -398,10 +405,12 @@ def main() -> int:
     if "ancestry" in variants and "full_perm" in variants:
         a = np.asarray(variants["ancestry"](memory, jnp.float32(0)))
         p = np.asarray(variants["full_perm"](memory, jnp.float32(0)))
-        print(
-            json.dumps({"ancestry_eq_full_perm": bool((a == p).all())}),
-            file=sys.stderr,
-        )
+        eq = {"ancestry_eq_full_perm": bool((a == p).all())}
+        for name in ("anc_gather", "anc_stacked"):
+            if name in variants:
+                v = np.asarray(variants[name](memory, jnp.float32(0)))
+                eq[f"{name}_eq_ancestry"] = bool((v == a).all())
+        print(json.dumps(eq), file=sys.stderr)
 
     times = {name: [] for name in variants}
     for i in range(args.iters):  # alternate: every variant sees every window

@@ -40,6 +40,7 @@ def _run(args: list[str], timeout: int = 1200) -> subprocess.CompletedProcess:
 HELP_SCRIPTS = [
     "ab_frontend.py",
     "ab_reorder.py",
+    "ab_s1ln.py",
     "ab_seams.py",
     "ab_stage3.py",
     "bench_latency.py",
@@ -85,16 +86,24 @@ def test_ab_reorder_smoke() -> None:
     proc = _run(["ab_reorder.py", "--batch", "2", "--iters", "1"])
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
-    for name in ("ancestry", "full_perm", "chunked_2", "chunked_4", "none"):
+    for name in (
+        "ancestry", "anc_gather", "anc_stacked",
+        "full_perm", "chunked_2", "chunked_4", "none",
+    ):
         assert f"median_{name}_ms" in out, out
         assert out[f"median_{name}_ms"] > 0.0
-    # the correctness cross-check must have run AND passed
+    # the correctness cross-check must have run AND passed — including the
+    # read-time formulation variants of the ancestry path
     eq_lines = [
         json.loads(l)
         for l in proc.stderr.splitlines()
         if l.startswith('{"ancestry_eq_full_perm"')
     ]
-    assert eq_lines and eq_lines[0]["ancestry_eq_full_perm"] is True
+    assert eq_lines, proc.stderr[-2000:]
+    eq = eq_lines[0]
+    assert eq["ancestry_eq_full_perm"] is True
+    assert eq["anc_gather_eq_ancestry"] is True
+    assert eq["anc_stacked_eq_ancestry"] is True
 
 
 @pytest.mark.slow
@@ -103,6 +112,17 @@ def test_ab_frontend_smoke() -> None:
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert any(k.startswith("median_") for k in out), out
+
+
+@pytest.mark.slow
+def test_ab_s1ln_smoke() -> None:
+    # interpret mode on CPU: numbers meaningless, schema + rc asserted
+    proc = _run(["ab_s1ln.py", "--batch", "1", "--iters", "1", "--interpret"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    for name in ("vpu", "mxu", "skip"):
+        assert f"median_{name}_ms" in out, out
+    assert "ln_share_ms" in out, out
 
 
 @pytest.mark.slow

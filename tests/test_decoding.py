@@ -170,6 +170,25 @@ class TestBeamParity:
         np.testing.assert_allclose(
             np.asarray(a.global_avg_lprobs), np.asarray(p.global_avg_lprobs), atol=1e-5
         )
+        # the read-time formulation variants of the SAME ancestry algorithm
+        # (decode_step ancestry_impl=) must agree with the scatter default:
+        # "gather" is bit-identical arithmetic (take_along_axis vs one-hot
+        # einsum, both single-term selections); "stacked" sums the same
+        # softmax addends along the stacked beams·L axis (f32 order may
+        # differ at ulp scale, tokens and 1e-5 scores must still match)
+        for impl in ("ancestry:gather", "ancestry:stacked"):
+            v = beam_search(params, CFG, memory, mem_pad, bos_ids,
+                            kv_reorder=impl, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(v.best_preds), np.asarray(a.best_preds)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(v.global_preds), np.asarray(a.global_preds)
+            )
+            np.testing.assert_allclose(
+                np.asarray(v.best_avg_lprobs),
+                np.asarray(a.best_avg_lprobs), atol=1e-5,
+            )
 
     @pytest.mark.parametrize("kv_reorder", ["physical", "ancestry"])
     def test_eos_bias_schedule_scripts_lengths(self, setup, kv_reorder):

@@ -132,13 +132,12 @@ def test_blocks_chain_in_padded_layout():
     assert rel_err(ref, y[:, :, :f, :c]) < 0.02
 
 
-@pytest.mark.parametrize("flag", ["_LN_STATS_MXU", "_FSHIFT_F32"])
-def test_experiment_flags_preserve_numerics(flag, monkeypatch):
-    """The trace-time shootout switches (LN stats via MXU, f32 tap
-    buffers — both perf-neutral on v5e, PROFILE.md r3) must stay
-    numerically equivalent so re-running the shootouts is always safe."""
-    import conette_tpu.ops.pallas.convnext_block as cb
-
+@pytest.mark.parametrize("kw", [{"ln_mode": "mxu"}, {"fshift_f32": True}])
+def test_experiment_flags_preserve_numerics(kw):
+    """The shootout switches (LN stats via MXU, f32 tap buffers — both
+    perf-neutral on v5e, PROFILE.md r3) must stay numerically equivalent so
+    re-running the shootouts is always safe. They are STATIC jit params
+    (not module globals) so each variant really gets its own trace."""
     b, t, f, c = 1, 16, 14, 128
     key = jax.random.PRNGKey(5)
     p = make_block(key, c)
@@ -146,9 +145,25 @@ def test_experiment_flags_preserve_numerics(flag, monkeypatch):
         jnp.bfloat16
     )
     base = run_fused(x, p)
-    monkeypatch.setattr(cb, flag, True)
-    toggled = run_fused(x, p)
+    toggled = run_fused(x, p, **kw)
     assert rel_err(base, toggled) < 5e-3
+
+
+def test_ln_skip_is_a_distinct_bound():
+    """ln_mode="skip" (the ab_s1ln.py timing bound) must really skip the
+    normalization — otherwise the A/B measures nothing — and must be
+    rejected as a production value only by the explicit whitelist."""
+    b, t, f, c = 1, 16, 14, 128
+    key = jax.random.PRNGKey(6)
+    p = make_block(key, c)
+    x = (jax.random.normal(jax.random.fold_in(key, 1), (b, t, f, c)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    base = run_fused(x, p)
+    skipped = run_fused(x, p, ln_mode="skip")
+    assert rel_err(base, skipped) > 1e-2  # stats really skipped
+    with pytest.raises(ValueError, match="ln_mode"):
+        run_fused(x, p, ln_mode="bogus")
 
 
 def test_pick_t_tile():
