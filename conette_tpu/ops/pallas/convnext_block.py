@@ -194,9 +194,17 @@ def plan_block(
         def sizing(tile: int, chunk: int | None):
             return sizing_any(tile, chunk, pack)
 
-        def chunks_for(tile: int):
+        def chunks_for(tile: int, sub8: bool = False):
             # unchunked when small; otherwise a ~2 MB-temp chunk, then the
-            # minimal 8-row chunk as a tighter fallback
+            # minimal 8-row chunk as a tighter fallback. ``sub8`` is a
+            # LAST-RESORT second pass (tried only after every >=8-row
+            # candidate failed, so existing plans are untouched): the
+            # kernel's MLP loop takes any static chunk size, and 4/2-row
+            # chunks admit weight-heavy shapes whose 8-row f32 MLP temps
+            # bust VMEM (e.g. the TRANSPOSED C=768/H=3072 stage, 9.4 MB
+            # of resident weights) — more loop trips beat no plan at all
+            if sub8:
+                return [4, 2]
             if weights_b + tile * fp_all * 4 * h_dim <= 10 * 1024 * 1024:
                 return [None, 8]
             return [max(8, (2 * 1024 * 1024) // (fp_all * h_dim * 4)), 8]
@@ -211,14 +219,17 @@ def plan_block(
             small = [tile for tile in candidates if tile <= 32]
             candidates = small + [t_ for t_ in candidates if t_ > 32]
         fallback = None
-        for tile in candidates:
-            for chunk in chunks_for(tile):
-                resident, fshift_b = sizing(tile, chunk)
-                if want_fshift and resident + fshift_b < 12 * 1024 * 1024:
-                    return tile, chunk, True, pack
-                if fallback is None and resident < 14.5 * 1024 * 1024:
-                    fallback = (tile, chunk, False, pack)
-            if not want_fshift and fallback is not None:
+        for sub8 in (False, True):
+            for tile in candidates:
+                for chunk in chunks_for(tile, sub8):
+                    resident, fshift_b = sizing(tile, chunk)
+                    if want_fshift and resident + fshift_b < 12 * 1024 * 1024:
+                        return tile, chunk, True, pack
+                    if fallback is None and resident < 14.5 * 1024 * 1024:
+                        fallback = (tile, chunk, False, pack)
+                if not want_fshift and fallback is not None:
+                    return fallback
+            if fallback is not None:
                 return fallback
         return fallback
 
@@ -262,21 +273,28 @@ def stage_transpose_wins(
 ) -> bool:
     """Auto heuristic: transpose a stage when the transposed layout's
     geometric efficiency (real elements / padded stencil elements,
-    including pack gaps) beats the normal plan's by ``margin``. At the
-    production ConvNeXt-Tiny shapes this selects exactly stage 3
-    (T=62, F=14: pack-2 with 8-col gaps covers 28 real of 40 stencil
-    columns = 0.70, vs 62/64 = 0.97 transposed with 64-wide sublane
-    extents); s1 is already gap-free, s2/s4 have no transposed VMEM plan."""
+    including pack gaps) beats the normal plan's by ``margin`` AND the
+    transposed plan does not give up a freq-shift the normal plan has.
+    At the production ConvNeXt-Tiny shapes this selects stages 3 and 4
+    (s3: pack-2 with 8-col gaps covers 28 real of 40 stencil columns =
+    0.70 vs 62/64 = 0.97 transposed; s4: 7/8 with 24-col work rows vs
+    31/32 transposed — on-chip A/B r5h: 61.3 -> 53.8 ms). s1 is already
+    gap-free; s2 passes the efficiency test (28/32 -> 125/128) but its
+    transposed plan has no VMEM room for fshift while the normal plan
+    runs fshift over F=32 — measured loss 95.2 -> 122.4 ms (r5h), hence
+    the fshift guard."""
     cur = plan_block(t, f_pad, cp, h_dim, itemsize, b)
     if cur is None:
         return False
-    _, _, _, pack = cur
+    _, _, cur_fshift, pack = cur
     fp_all = (pack - 1) * (f_pad + PACK_GAP) + f_pad
     eff_cur = pack * f_real / fp_all
     tr = transposed_stage_plan(t, f_real, cp, h_dim, itemsize, b)
     if tr is None:
         return False
-    new_t, new_f_pad, _ = tr
+    new_t, new_f_pad, (_, _, tr_fshift, _) = tr
+    if cur_fshift and not tr_fshift:
+        return False
     eff_tr = (t * f_real) / (new_t * new_f_pad)
     return eff_tr > eff_cur + margin
 

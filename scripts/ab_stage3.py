@@ -1,24 +1,35 @@
 #!/usr/bin/env python
-"""Within-session A/B of the TRANSPOSED stage-3 fused-block layout (r5).
+"""Within-session A/B of the TRANSPOSED fused-block stage layout (r5).
 
-Stage 3 (T=62, F=14, C=384, 9 blocks) is the encoder's largest stage and
-its normal plan runs pack-2 with 8-column zero gaps: the 49-tap stencil
-and the MLP process 40 freq columns for 28 real ones (70% geometric
-efficiency) over 40-sublane extents. The 7x7 depthwise stencil is
-T/F-symmetric, so the stage can instead run with time and freq swapped —
-a single (t=14, F_pad=64) tile at 62/64 = 97% efficiency with 64-wide
-sublane extents and no packing (``convnext_features(fused_transpose=)``,
-``ops/pallas/convnext_block.py::stage_transpose_wins``).
+The 7x7 depthwise stencil is T/F-symmetric, so a stage can run with time
+and freq swapped (``convnext_features(fused_transpose=)``,
+``ops/pallas/convnext_block.py::stage_transpose_wins``). ``--stage``
+selects the production ConvNeXt-Tiny geometry to A/B:
+
+- stage 3 (default; T=62, F=14, C=384, 9 blocks): normal plan is pack-2
+  with 8-column zero gaps — 28 real of 40 stencil columns (70%), vs a
+  single (t=14, F_pad=64) transposed tile at 62/64 = 97% with 64-wide
+  sublane extents. Measured winner, production since r5 (PROFILE.md).
+- stage 4 (T=31, F=7, C=768, 3 blocks): normal plan is unpacked F_pad=8
+  (7/8 real) but the stencil's work rows are 24 columns wide for 7 real
+  ones; transposed it runs (t=7, F_pad=32) at 31/32 with the halo
+  amortized over 4x the columns. Needs the sub-8 MLP chunk plans (the
+  9.4 MB resident weights leave no room for 8-row f32 MLP temps).
+- stage 2 (T=125, F=28, C=192, 3 blocks): normal 28/32 with fshift;
+  transposed (t=28, F_pad=128) at 125/128 WITHOUT fshift (no VMEM room)
+  — the A/B decides whether the width win beats the fshift loss.
+- stage 1 (T=250, F=56, C=96): gap-free already; included for
+  completeness (auto never selects it).
 
 The tunneled chip is time-sliced, so cross-run comparisons are invalid
 (PROFILE.md "chip reality"); this alternates the two layouts in ONE
 process and reports per-variant medians, at two levels:
 
-1. stage-only: the isolated 9-block chain, baseline vs transposed
+1. stage-only: the isolated block chain, baseline vs transposed
    (including the transposed variant's slice/transpose/re-pad seams).
 2. e2e: the full encoder via ``convnext_apply(fused_transpose=...)``.
 
-Usage:  python scripts/ab_stage3.py [--batch 384] [--iters 8]
+Usage:  python scripts/ab_stage3.py [--stage 3] [--batch 384] [--iters 8]
         [--check-only] [--interpret] [--skip-e2e]
 """
 
@@ -35,17 +46,25 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-T, F_REAL, C, DEPTH = 62, 14, 384, 9
+# production ConvNeXt-Tiny stage geometries: (T, F_real, C_real, depth)
+STAGES = {
+    1: (250, 56, 96, 3),
+    2: (125, 28, 192, 3),
+    3: (62, 14, 384, 9),
+    4: (31, 7, 768, 3),
+}
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", type=int, default=3, choices=sorted(STAGES))
     ap.add_argument("--batch", type=int, default=384)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--check-only", action="store_true")
     ap.add_argument("--interpret", action="store_true", help="CPU smoke mode")
     ap.add_argument("--skip-e2e", action="store_true")
     args = ap.parse_args()
+    T, F_REAL, C, DEPTH = STAGES[args.stage]
 
     import jax
     import jax.numpy as jnp
@@ -117,7 +136,7 @@ def main() -> int:
         outs[name] = fn(xp, jnp.float32(0))  # compile
         np.asarray(outs[name][0])
 
-    report: dict = {"batch": args.batch}
+    report: dict = {"batch": args.batch, "stage": args.stage}
     if args.check_only:
         a = np.asarray(outs["baseline"][1], np.float32)
         b = np.asarray(outs["transposed"][1], np.float32)
@@ -127,8 +146,10 @@ def main() -> int:
         for blk in blocks:
             yref = cv.convnext_block(blk, yref)
         r = np.asarray(yref, np.float32)
+        # slice BOTH padded axes back to the real extent (C pads to a lane
+        # multiple for s1/s2/s4; s3's 384 is already lane-aligned)
         rel_xla = (
-            np.abs(a[:, :, :F_REAL, :] - r).max() / max(np.abs(r).max(), 1e-6)
+            np.abs(a[:, :, :F_REAL, :C] - r).max() / max(np.abs(r).max(), 1e-6)
         )
         pad_zero = float(np.abs(b[:, :, F_REAL:, :]).max())
         report.update(

@@ -294,10 +294,12 @@ def test_transposed_block_matches_direct():
     assert rel_err(direct, transposed) < 0.02
 
 
-def test_stage_transpose_wins_selects_stage3_only():
+def test_stage_transpose_wins_selects_stages_3_and_4():
     """At the production encoder shapes (batch 384, 10 s @ 32 kHz) the auto
-    heuristic transposes exactly stage 3: s1 is already gap-free, s2/s4
-    have no transposed VMEM plan."""
+    heuristic transposes exactly stages 3 and 4 (on-chip A/B r5h: s4
+    61.3 -> 53.8 ms). s1 is already gap-free; s2 is excluded by the
+    fshift guard — its transposed plan has no VMEM room for the freq
+    shift the normal plan runs (measured loss 95.2 -> 122.4 ms, r5h)."""
     from conette_tpu.ops.pallas.convnext_block import (
         stage_transpose_wins,
         transposed_stage_plan,
@@ -313,11 +315,17 @@ def test_stage_transpose_wins_selects_stage3_only():
         k: stage_transpose_wins(t, fp, fr, cp, h, 2, 384)
         for k, (t, fp, fr, cp, h) in stages.items()
     }
-    assert wins == {"s1": False, "s2": False, "s3": True, "s4": False}
+    assert wins == {"s1": False, "s2": False, "s3": True, "s4": True}
     t, fp, fr, cp, h = stages["s3"]
     new_t, new_f_pad, plan = transposed_stage_plan(t, fr, cp, h, 2, 384)
     assert (new_t, new_f_pad) == (14, 64)
     assert plan is not None
+    # s4's transposed plan only exists through the sub-8 MLP chunk pass
+    # (9.4 MB resident weights leave no room for 8-row f32 MLP temps)
+    t, fp, fr, cp, h = stages["s4"]
+    new_t, new_f_pad, plan = transposed_stage_plan(t, fr, cp, h, 2, 384)
+    assert (new_t, new_f_pad) == (7, 32)
+    assert plan[1] in (4, 2)
 
 
 def test_features_transposed_stage_matches_untransposed():
